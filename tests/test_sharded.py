@@ -1,0 +1,59 @@
+"""Multi-device (virtual 8-CPU mesh) bit-identity tests: sharded NTT and
+Merkle must match the single-device kernels exactly (SURVEY.md §4: the
+multi-chip tests the reference lacks)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zkvm_prover_tpu.fields import babybear as bb
+from zkvm_prover_tpu.ops import ntt
+from zkvm_prover_tpu.parallel import mesh as mesh_mod
+from zkvm_prover_tpu.parallel.ntt_sharded import ntt_natural_to_rev_sharded
+from zkvm_prover_tpu.parallel.merkle_sharded import commit_root_sharded
+from zkvm_prover_tpu.stark import merkle
+
+RNG = np.random.default_rng(3)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must force 8 host devices"
+    return mesh_mod.make_mesh(n_shard=8)
+
+
+def test_sharded_ntt_matches_single_device(mesh8):
+    log_n = 10
+    n = 1 << log_n
+    x = bb.to_monty(
+        jnp.asarray(RNG.integers(0, bb.P, size=(n,), dtype=np.uint64).astype(np.uint32))
+    )
+    want = np.asarray(ntt.ntt_natural_to_rev(x))
+    got = np.asarray(ntt_natural_to_rev_sharded(x, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_ntt_batched(mesh8):
+    log_n = 8
+    n = 1 << log_n
+    x = bb.to_monty(
+        jnp.asarray(
+            RNG.integers(0, bb.P, size=(n, 3), dtype=np.uint64).astype(np.uint32)
+        )
+    )
+    want = np.asarray(ntt.ntt_natural_to_rev(x))
+    got = np.asarray(ntt_natural_to_rev_sharded(x, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_merkle_root_matches(mesh8):
+    h, w = 64, 5
+    m = bb.to_monty(
+        jnp.asarray(
+            RNG.integers(0, bb.P, size=(h, w), dtype=np.uint64).astype(np.uint32)
+        )
+    )
+    want = merkle.commit([m]).root_np()
+    got = np.asarray(commit_root_sharded(m, mesh8))
+    np.testing.assert_array_equal(got, want)

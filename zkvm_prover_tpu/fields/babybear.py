@@ -1,0 +1,250 @@
+"""BabyBear prime field (p = 15 * 2**27 + 1 = 2013265921) as vectorized uint32
+lane kernels for TPU.
+
+Design (TPU-first, cf. /root/repo/SURVEY.md §7 Phase 1):
+
+- Elements are stored as ``jnp.uint32`` arrays in **Montgomery form** with
+  R = 2**32 (same in-memory convention as the reference's Plonky3 backend,
+  `p3-baby-bear`; cf. reference use at /root/reference/Cargo.lock p3-baby-bear
+  0.4.3). Montgomery form means an element x is stored as x*R mod p.
+- All arithmetic is expressed with 16-bit limb decompositions so that every
+  multiply is an exact 16x16->32 ``uint32`` multiply — the widest exact integer
+  multiply the TPU VPU lowers efficiently. No 64-bit integers are used
+  anywhere, so every function here works identically under jit on TPU, inside
+  Pallas kernels, and on the CPU backend.
+- Functions are shape-polymorphic and elementwise; XLA fuses chains of them
+  into single VPU loops.
+
+Reference behavior being matched (not copied): Plonky3 `MontyField31`
+arithmetic as driven by openvm-stark-backend (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Field constants (computed with Python bignum at import time, baked as
+# uint32 literals into every jitted program).
+# ---------------------------------------------------------------------------
+
+P = 2013265921  # 15 * 2**27 + 1
+TWO_ADICITY = 27
+# Smallest multiplicative generator of F_p^* (order p-1). 31 generates the
+# full group for BabyBear.
+GENERATOR = 31
+
+MONTY_BITS = 32
+R = (1 << MONTY_BITS) % P          # R mod p      (Montgomery "one")
+R2 = (R * R) % P                   # R^2 mod p    (to_monty multiplier)
+# NP = -p^{-1} mod 2^32: p * NP ≡ -1 (mod 2^32)
+NP = (-pow(P, -1, 1 << 32)) % (1 << 32)
+
+_U32 = jnp.uint32
+MASK16 = np.uint32(0xFFFF)
+
+
+def _u32(x):
+    return jnp.asarray(x, dtype=_U32)
+
+
+# ---------------------------------------------------------------------------
+# 32x32 -> 64 multiply emulated with 16-bit limbs (4 exact uint32 multiplies)
+# ---------------------------------------------------------------------------
+
+def mul32_wide(a, b):
+    """Full 64-bit product of two uint32 arrays, returned as (hi, lo) uint32."""
+    a = _u32(a)
+    b = _u32(b)
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    lolo = a0 * b0          # < 2^32, exact
+    hilo = a1 * b0          # < 2^32, exact
+    lohi = a0 * b1          # < 2^32, exact
+    hihi = a1 * b1          # < 2^32, exact
+    # mid = hilo + lohi, may carry out of 32 bits
+    mid = hilo + lohi
+    carry_mid = (mid < hilo).astype(_U32)
+    lo = lolo + (mid << 16)
+    carry_lo = (lo < lolo).astype(_U32)
+    hi = hihi + (mid >> 16) + (carry_mid << 16) + carry_lo
+    return hi, lo
+
+
+def mul32_lo(a, b):
+    """Low 32 bits of a*b (3 exact multiplies)."""
+    a = _u32(a)
+    b = _u32(b)
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    return a0 * b0 + ((a0 * b1 + a1 * b0) << 16)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery arithmetic. All values in [0, p).
+# ---------------------------------------------------------------------------
+
+def mont_reduce(hi, lo):
+    """REDC: given t = hi*2^32 + lo < p*2^32, return t * R^{-1} mod p."""
+    m = mul32_lo(lo, np.uint32(NP))
+    mp_hi, mp_lo = mul32_wide(m, np.uint32(P))
+    # lo + mp_lo ≡ 0 (mod 2^32) exactly; carry out is 1 unless both are 0.
+    carry = (lo != 0).astype(_U32)
+    u = hi + mp_hi + carry
+    return jnp.where(u >= np.uint32(P), u - np.uint32(P), u)
+
+
+def mul(a, b):
+    """Montgomery product: (a*b*R^{-1}) mod p. Inputs/outputs Montgomery form."""
+    hi, lo = mul32_wide(a, b)
+    return mont_reduce(hi, lo)
+
+
+def add(a, b):
+    s = _u32(a) + _u32(b)  # both < p < 2^31 — no wraparound
+    return jnp.where(s >= np.uint32(P), s - np.uint32(P), s)
+
+
+def sub(a, b):
+    a = _u32(a)
+    b = _u32(b)
+    d = a - b  # wraps when a < b
+    return jnp.where(a >= b, d, d + np.uint32(P))
+
+
+def neg(a):
+    a = _u32(a)
+    return jnp.where(a == 0, a, np.uint32(P) - a)
+
+
+def double(a):
+    return add(a, a)
+
+
+def to_monty(a):
+    """Canonical uint32 (< p) -> Montgomery form."""
+    hi, lo = mul32_wide(_u32(a), np.uint32(R2))
+    return mont_reduce(hi, lo)
+
+
+def from_monty(a):
+    """Montgomery form -> canonical uint32 (< p)."""
+    return mont_reduce(jnp.zeros_like(_u32(a)), _u32(a))
+
+
+ZERO = np.uint32(0)
+ONE = np.uint32(R)                    # 1 in Montgomery form
+TWO = np.uint32((2 * R) % P)
+NEG_ONE = np.uint32((P - R) % P)
+
+
+def full_mul(a, b):
+    """Field product of canonical-form inputs, canonical-form output.
+
+    Two REDC passes; use only at boundaries — hot paths stay in Montgomery.
+    """
+    return from_monty(mul(to_monty(a), to_monty(b)))
+
+
+# ---------------------------------------------------------------------------
+# Exponentiation / inversion (vectorized, fixed 31-iteration ladder)
+# ---------------------------------------------------------------------------
+
+def exp_const(a, e: int):
+    """a ** e for a static Python exponent; a in Montgomery form."""
+    result = None
+    base = a
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        base = mul(base, base)
+        e >>= 1
+    if result is None:
+        return jnp.full(jnp.shape(a), ONE, dtype=_U32)
+    return result
+
+
+def inv(a):
+    """Field inverse via a^(p-2); a in Montgomery form. inv(0) returns 0."""
+    return exp_const(a, P - 2)
+
+
+def batch_inv(a):
+    """Montgomery's batched-inversion trick along the last axis.
+
+    For long vectors this replaces n inversions with 1 inversion + 3n muls.
+    Zero entries are mapped to zero (matching `inv`).
+    """
+    flat = a.reshape(-1)
+    safe = jnp.where(flat == 0, ONE, flat)
+    prefix = jnp.concatenate(
+        [jnp.full((1,), ONE, dtype=_U32), _cumprod(safe)[:-1]]
+    )
+    total = mul(prefix[-1], safe[-1])
+    inv_total = inv(total)
+    suffix = _cumprod_rev(safe)
+    # suffix[i] = prod_{j>i} safe[j]
+    out = mul(mul(prefix, suffix), inv_total)
+    out = jnp.where(flat == 0, jnp.uint32(0), out)
+    return out.reshape(a.shape)
+
+
+def _cumprod(x):
+    import jax
+
+    def step(c, v):
+        c2 = mul(c, v)
+        return c2, c2
+
+    _, ys = jax.lax.scan(step, jnp.full((), ONE, dtype=_U32), x)
+    return ys
+
+
+def _cumprod_rev(x):
+    import jax
+
+    def step(c, v):
+        out = c
+        c2 = mul(c, v)
+        return c2, out
+
+    _, ys = jax.lax.scan(step, jnp.full((), ONE, dtype=_U32), x, reverse=True)
+    return ys
+
+
+# ---------------------------------------------------------------------------
+# Two-adic roots of unity
+# ---------------------------------------------------------------------------
+
+def two_adic_generator_int(bits: int) -> int:
+    """Canonical-form generator of the order-2^bits subgroup (Python int).
+
+    Derived as g^( (p-1) / 2^bits ) with g = 31, matching the standard
+    Plonky3 derivation (root of the maximal 2-adic subgroup raised to a
+    power of two).
+    """
+    assert 0 <= bits <= TWO_ADICITY
+    return pow(GENERATOR, (P - 1) >> bits, P)
+
+
+def powers_int(base: int, n: int) -> np.ndarray:
+    """[1, base, base^2, ..., base^(n-1)] canonical form as numpy uint32."""
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = (acc * base) % P
+    return out.astype(np.uint32)
+
+
+def to_monty_int(x: int) -> int:
+    return (x * R) % P
+
+
+def from_monty_int(x: int) -> int:
+    return (x * pow(R, -1, P)) % P

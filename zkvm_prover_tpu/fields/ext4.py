@@ -1,0 +1,144 @@
+"""Quartic binomial extension F_{p^4} = F_p[x]/(x^4 - W), W = 11, over BabyBear.
+
+Matches the structure of the reference's challenge field (Plonky3
+`BinomialExtensionField<BabyBear, 4>` used by openvm-stark-backend for FRI
+challenges and quotient accumulation; SURVEY.md §2.2 "quartic extension").
+
+Representation: a uint32 jnp array whose **last axis has size 4** holds the
+coefficients [a0, a1, a2, a3] (each in Montgomery form), meaning
+a0 + a1*x + a2*x^2 + a3*x^3. All ops are elementwise over leading axes, so a
+batch of N extension elements is an (N, 4) array — TPU-lane friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import babybear as bb
+
+W_INT = 11
+W = np.uint32(bb.to_monty_int(W_INT))
+# Frobenius: x^p = DTH_ROOT * x with DTH_ROOT = W^((p-1)/4)
+DTH_ROOT_INT = pow(W_INT, (bb.P - 1) // 4, bb.P)
+DTH_ROOT = np.uint32(bb.to_monty_int(DTH_ROOT_INT))
+
+D = 4
+
+
+def zero(shape=()):
+    return jnp.zeros((*shape, D), dtype=jnp.uint32)
+
+
+def one(shape=()):
+    z = np.zeros((*shape, D), dtype=np.uint32)
+    z[..., 0] = bb.ONE
+    return jnp.asarray(z)
+
+
+def from_base(a):
+    """Embed base-field array (Montgomery) into the extension (append zeros)."""
+    a = jnp.asarray(a, dtype=jnp.uint32)
+    z = jnp.zeros((*a.shape, D), dtype=jnp.uint32)
+    return z.at[..., 0].set(a)
+
+
+def from_ints(coeffs) -> jnp.ndarray:
+    """Python-int canonical coefficients -> Montgomery ext element."""
+    c = np.asarray([bb.to_monty_int(int(v) % bb.P) for v in coeffs], dtype=np.uint32)
+    return jnp.asarray(c)
+
+
+def to_ints(a) -> list:
+    c = np.asarray(bb.from_monty(a))
+    return [int(v) for v in c.reshape(-1, D)[0]] if c.ndim else list(c)
+
+
+def add(a, b):
+    return bb.add(a, b)
+
+
+def sub(a, b):
+    return bb.sub(a, b)
+
+
+def neg(a):
+    return bb.neg(a)
+
+
+def scale(a, s):
+    """Multiply ext element(s) by base-field scalar(s) (Montgomery form)."""
+    return bb.mul(a, jnp.asarray(s, dtype=jnp.uint32)[..., None])
+
+
+def mul(a, b):
+    """Extension product modulo x^4 - W. 16 base muls + 3 W-muls."""
+    a0, a1, a2, a3 = (a[..., i] for i in range(4))
+    b0, b1, b2, b3 = (b[..., i] for i in range(4))
+    m = bb.mul
+    s = bb.add
+
+    c0 = s(m(a0, b0), m(W, s(s(m(a1, b3), m(a2, b2)), m(a3, b1))))
+    c1 = s(s(m(a0, b1), m(a1, b0)), m(W, s(m(a2, b3), m(a3, b2))))
+    c2 = s(s(m(a0, b2), m(a1, b1)), s(m(a2, b0), m(W, m(a3, b3))))
+    c3 = s(s(m(a0, b3), m(a1, b2)), s(m(a2, b1), m(a3, b0)))
+    return jnp.stack([c0, c1, c2, c3], axis=-1)
+
+
+def mul_base(a, b):
+    """Ext * base (b broadcast over the coefficient axis)."""
+    return bb.mul(a, jnp.asarray(b, dtype=jnp.uint32)[..., None])
+
+
+def square(a):
+    return mul(a, a)
+
+
+def frobenius(a, k: int = 1):
+    """a -> a^(p^k), i.e. coefficient i scaled by DTH_ROOT^(i*k)."""
+    scal = np.ones(4, dtype=np.uint64)
+    r = pow(DTH_ROOT_INT, k, bb.P)
+    acc = 1
+    vals = []
+    for i in range(4):
+        vals.append(bb.to_monty_int(acc))
+        acc = (acc * r) % bb.P
+    scal = jnp.asarray(np.asarray(vals, dtype=np.uint32))
+    return bb.mul(a, scal)
+
+
+def inv(a):
+    """Inverse via the norm map: a^{-1} = (∏_{k=1..3} a^{p^k}) / Norm(a)."""
+    f1 = frobenius(a, 1)
+    f2 = frobenius(a, 2)
+    f3 = frobenius(a, 3)
+    conj = mul(f1, mul(f2, f3))
+    norm_full = mul(a, conj)
+    # Norm(a) lies in the base field: its x^1..x^3 coefficients are 0.
+    norm = norm_full[..., 0]
+    return mul_base(conj, bb.inv(norm))
+
+
+def exp_const(a, e: int):
+    result = None
+    base = a
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        base = mul(base, base)
+        e >>= 1
+    if result is None:
+        return jnp.broadcast_to(one(), a.shape)
+    return result
+
+
+def powers(base, n: int):
+    """[1, base, ..., base^(n-1)] — (n, 4) array; base a single ext element."""
+    import jax
+
+    def step(c, _):
+        nxt = mul(c, base)
+        return nxt, c
+
+    _, ys = jax.lax.scan(step, one(), None, length=n)
+    return ys

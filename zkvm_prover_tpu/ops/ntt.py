@@ -1,0 +1,278 @@
+"""Radix-2 NTT / coset LDE over BabyBear, batched column-wise, TPU-first.
+
+Re-designs the reference's LDE stage (Plonky3 `p3-dft` Radix2Dit driven by
+openvm-stark-backend; SURVEY.md §2.2 "STARK prover" row) for XLA:
+
+- A polynomial batch is an (N, W) uint32 matrix (Montgomery form): axis 0 is
+  the evaluation/coefficient index, axis 1 the trace columns. Every butterfly
+  stage is ONE reshape + elementwise mul/add/sub over the whole matrix — XLA
+  fuses each stage into a single VPU pass; there are log2(N) passes.
+- No gathers anywhere on the hot path. We use decimation-in-frequency (DIF)
+  for natural->bit-reversed and decimation-in-time (DIT) for
+  bit-reversed->natural, so forward+inverse round trips and the LDE never
+  materialize a bit-reversal permutation.
+- Domain convention: **natural order** cosets. FRI folding then combines the
+  two contiguous halves of the array (x and -x live at j and j+N/2), which is
+  the TPU-friendly layout (contiguous slabs, no strided pairs). This
+  deliberately differs from Plonky3's bit-reversed storage; it is an internal
+  layout choice with identical math.
+- Twiddle tables are precomputed host-side per (log_n, direction) and cached
+  as device arrays (Montgomery form).
+
+The multi-chip variant (butterfly stages local until the stride crosses the
+shard boundary, then `all_to_all` re-shard) lives in parallel/ntt_sharded.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+
+# ---------------------------------------------------------------------------
+# Twiddle caches (host-side numpy; uploaded once per size)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(log_n: int, inverse: bool):
+    """Per-stage twiddle tables, Montgomery form.
+
+    stage s (1-indexed, block half-size h = 2^(s-1)) uses w_{2h}^j for
+    j in [0, h) where w_{2h} is the canonical order-2h root (inverse root if
+    inverse=True).
+    """
+    tables = []
+    for s in range(1, log_n + 1):
+        h = 1 << (s - 1)
+        w = bb.two_adic_generator_int(s)
+        if inverse:
+            w = pow(w, bb.P - 2, bb.P)
+        tw = bb.powers_int(w, h)
+        tw_m = np.array(
+            [bb.to_monty_int(int(v)) for v in tw], dtype=np.uint32
+        )
+        # plain numpy: jnp arrays created inside a jit trace would leak
+        # tracers out of the lru_cache
+        tables.append(tw_m)
+    return tables
+
+
+@functools.lru_cache(maxsize=None)
+def _n_inv_monty(log_n: int) -> np.uint32:
+    n_inv = pow(1 << log_n, bb.P - 2, bb.P)
+    return np.uint32(bb.to_monty_int(n_inv))
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_perm(log_n: int):
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _powers_bitrev_monty(base_int: int, log_n: int):
+    """[base^bitrev(j) for j] in Montgomery form (host precompute)."""
+    n = 1 << log_n
+    pw = bb.powers_int(base_int, n)  # canonical
+    rev = _bitrev_perm(log_n)
+    return np.array([bb.to_monty_int(int(pw[r])) for r in rev], dtype=np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Core transforms
+# ---------------------------------------------------------------------------
+
+
+def _dif(x, log_n: int, inverse: bool):
+    """DIF butterflies: natural-order input -> bit-reversed-order output."""
+    n = x.shape[0]
+    w_all = _stage_twiddles(log_n, inverse)
+    rest = x.shape[1:]
+    for s in range(log_n, 0, -1):
+        h = 1 << (s - 1)
+        tw = w_all[s - 1].reshape((1, h) + (1,) * len(rest))
+        v = x.reshape((n // (2 * h), 2, h) + rest)
+        lo = v[:, 0]
+        hi = v[:, 1]
+        new_lo = bb.add(lo, hi)
+        new_hi = bb.mul(bb.sub(lo, hi), tw)
+        x = jnp.stack([new_lo, new_hi], axis=1).reshape((n,) + rest)
+    return x
+
+
+def _dit(x, log_n: int, inverse: bool):
+    """DIT butterflies: bit-reversed-order input -> natural-order output."""
+    n = x.shape[0]
+    w_all = _stage_twiddles(log_n, inverse)
+    rest = x.shape[1:]
+    for s in range(1, log_n + 1):
+        h = 1 << (s - 1)
+        tw = w_all[s - 1].reshape((1, h) + (1,) * len(rest))
+        v = x.reshape((n // (2 * h), 2, h) + rest)
+        lo = v[:, 0]
+        hi = bb.mul(v[:, 1], tw)
+        x = jnp.stack([bb.add(lo, hi), bb.sub(lo, hi)], axis=1).reshape(
+            (n,) + rest
+        )
+    return x
+
+
+@jax.jit
+def ntt_natural_to_rev(x):
+    """Forward NTT; natural-order input, bit-reversed output."""
+    log_n = int(x.shape[0]).bit_length() - 1
+    return _dif(x, log_n, inverse=False)
+
+
+@jax.jit
+def ntt_rev_to_natural(x):
+    """Forward NTT; bit-reversed input, natural-order output."""
+    log_n = int(x.shape[0]).bit_length() - 1
+    return _dit(x, log_n, inverse=False)
+
+
+@jax.jit
+def intt_natural_to_rev(x):
+    """Inverse NTT; natural-order evals -> bit-reversed coefficients."""
+    log_n = int(x.shape[0]).bit_length() - 1
+    out = _dif(x, log_n, inverse=True)
+    return bb.mul(out, _n_inv_monty(log_n))
+
+
+@jax.jit
+def intt_rev_to_natural(x):
+    """Inverse NTT; bit-reversed evals -> natural-order coefficients."""
+    log_n = int(x.shape[0]).bit_length() - 1
+    out = _dit(x, log_n, inverse=True)
+    return bb.mul(out, _n_inv_monty(log_n))
+
+
+def bit_reverse(x):
+    """Explicit bit-reversal permutation along axis 0 (gather; avoid on hot path)."""
+    log_n = int(x.shape[0]).bit_length() - 1
+    return jnp.take(x, jnp.asarray(_bitrev_perm(log_n)), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Coset LDE
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def interpolate_coset_rev(evals, shift_in_int: int = 1):
+    """Evals on coset shift_in*H (natural order) -> bit-reversed coefficients.
+
+    Standard INTT recovers coefficients of f(shift*x); dividing coefficient j
+    by shift^j (a host-precomputed bit-reversed-order table) recovers f.
+    """
+    n = int(evals.shape[0])
+    log_n = n.bit_length() - 1
+    c_rev = intt_natural_to_rev(evals)
+    if shift_in_int % bb.P != 1:
+        s_inv = pow(shift_in_int % bb.P, bb.P - 2, bb.P)
+        scale = _powers_bitrev_monty(s_inv, log_n).reshape(
+            (n,) + (1,) * (evals.ndim - 1)
+        )
+        c_rev = bb.mul(c_rev, scale)
+    return c_rev
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def eval_coset_from_rev(c_rev, log_blowup: int, shift_int: int):
+    """Bit-reversed coefficients (n, W) -> evals of the degree<n poly on the
+    coset shift*G_m (natural order), m = n << log_blowup.
+
+    TPU shape: per-coset scale tables are host-precomputed in bit-reversed
+    index order, so the whole evaluation is `blowup` DITs with zero gathers.
+    """
+    n = int(c_rev.shape[0])
+    log_n = n.bit_length() - 1
+    blowup = 1 << log_blowup
+    rest = c_rev.shape[1:]
+
+    w_m_int = bb.two_adic_generator_int(log_n + log_blowup)
+    cosets = []
+    for r in range(blowup):
+        s_r = (shift_int * pow(w_m_int, r, bb.P)) % bb.P
+        scale = _powers_bitrev_monty(s_r, log_n).reshape(
+            (n,) + (1,) * len(rest)
+        )
+        cosets.append(_dit(bb.mul(c_rev, scale), log_n, inverse=False))
+    # interleave: global natural index t = r + j*blowup
+    out = jnp.stack(cosets, axis=1)  # (n, blowup, *rest)
+    return out.reshape((n * blowup,) + rest)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def coset_lde(evals, log_blowup: int, shift_int: int = bb.GENERATOR,
+              shift_in_int: int = 1):
+    """Low-degree extension (the reference's `coset_lde_batch`, log_blowup=1).
+
+    Input: (n, W) evals of columns on shift_in*H (natural order).
+    Output: (n * 2^log_blowup, W) evals on shift*G (natural order).
+    """
+    c_rev = interpolate_coset_rev(evals, shift_in_int)
+    return eval_coset_from_rev(c_rev, log_blowup, shift_int)
+
+
+@jax.jit
+def eval_poly_at_point_ext(coeffs_rev, point_ext):
+    """Evaluate a poly (bit-reversed base-field coeffs (n, W)) at an ext point.
+
+    Used for out-of-domain (DEEP) openings. Horner is sequential; instead use
+    sum_i c_i * z^i with a precomputed power ladder: powers of z in natural
+    order, permuted host-side? z is a traced value — compute powers with an
+    O(log n) squaring doubling trick, in *bit-reversed* order directly:
+    bitrev powers table satisfies pw[j] = z^bitrev(j); build by interleaving:
+    start [1]; at step k (building 2^(k+1) entries from 2^k):
+      new[2i] = old[i], new[2i+1] = old[i] * z^(2^k)  -- because appending a
+    high bit b_k=1 to the reversed index adds 2^k to the exponent... careful:
+    bitrev over log_n bits of (j) — we build for increasing log sizes where
+    bitrev_(k+1)(2i+b) = bitrev_k(i) + b*2^k. So exponent(new[2i+b]) =
+    exponent(old[i]) + b*2^k. That is exactly the interleave rule above.
+    """
+    n = int(coeffs_rev.shape[0])
+    log_n = n.bit_length() - 1
+    from ..fields import ext4
+
+    pw = ext4.one((1,))  # (1, 4)
+    zp = point_ext  # z^(2^k)
+    for _ in range(log_n):
+        hi = ext4.mul(pw, jnp.broadcast_to(zp, pw.shape))
+        pw = jnp.stack([pw, hi], axis=1).reshape(-1, 4)
+        zp = ext4.mul(zp, zp)
+    # pw[j] = z^bitrev(j), shape (n, 4)
+    # result[w] = sum_j coeffs_rev[j, w] * pw[j]
+    terms = bb.mul(coeffs_rev[..., None], pw[:, None, :])  # (n, W, 4)
+    return _field_sum(terms, axis=0)
+
+
+def _field_sum(x, axis=0):
+    """Sum mod p along an axis using uint32 lanes.
+
+    Values < 2^31; sum pairs then reduce — use a log-tree of bb.add to stay
+    in-range (each add renormalizes below p).
+    """
+    n = x.shape[axis]
+    x = jnp.moveaxis(x, axis, 0)
+    while n > 1:
+        if n % 2 == 1:
+            x = jnp.concatenate(
+                [x, jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)], axis=0
+            )
+            n += 1
+        x = bb.add(x[0::2], x[1::2])
+        n //= 2
+    return x[0]
+
+
+field_sum = _field_sum

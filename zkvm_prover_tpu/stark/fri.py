@@ -1,0 +1,250 @@
+"""FRI low-degree test over BabyBear^4, natural-order domains, TPU-batched.
+
+Re-designs the reference's `p3-fri` (driven by openvm-stark-backend with
+log_blowup=1, 100 queries, PoW 16 bits, log_final_poly_len=0 — reference
+config at /root/reference/crates/circuits/chunk-circuit/openvm.toml:1-6):
+
+- The codeword lives on a natural-order coset s*G (|G| = m). One fold round
+  combines the two contiguous halves of the array (x at j, -x at j+m/2):
+      E'(x^2) = (E(x) + E(-x))/2 + beta * (E(x) - E(-x)) / (2x)
+  i.e. two slabs + a host-precomputed 1/(2x_j) table — no strided pair
+  gathers (this is the natural-order twin of Plonky3's bit-reversed layout).
+- Every round's codeword is Merkle-committed (ext elements as (m_i, 4) u32
+  matrices); queries open index and sibling index+m_i/2.
+- Query index sampling, PoW grinding and the transcript order follow the
+  commit-then-sample structure of the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..fields import ext4
+from ..ops import ntt as ntt_mod
+from . import merkle
+from .challenger import Challenger
+
+
+@dataclass(frozen=True)
+class FriConfig:
+    log_blowup: int = 1
+    num_queries: int = 100
+    proof_of_work_bits: int = 16
+    log_final_poly_len: int = 0
+
+
+@dataclass
+class FriRoundProof:
+    # per query: openings (value at idx, value at sibling) come from the
+    # Merkle openings; we store full merkle.Opening objects.
+    openings: List[tuple]  # (Opening at q, Opening at q + m/2)
+
+
+@dataclass
+class FriProof:
+    commitments: List[np.ndarray]        # per-round Merkle roots
+    final_poly: np.ndarray               # (2^log_final_poly_len, 4) canonical? Montgomery
+    pow_witness: int
+    rounds: List[FriRoundProof] = field(default_factory=list)
+    query_indices: List[int] = field(default_factory=list)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_denoms(log_m: int, shift_int: int):
+    """1/(2 * shift * w^j) for j < m/2, Montgomery device array."""
+    m = 1 << log_m
+    w = bb.two_adic_generator_int(log_m)
+    half = m // 2
+    out = np.empty(half, dtype=np.uint32)
+    inv2s = pow(2 * shift_int % bb.P, bb.P - 2, bb.P)
+    winv = pow(w, bb.P - 2, bb.P)
+    acc = inv2s
+    for j in range(half):
+        out[j] = bb.to_monty_int(acc)
+        acc = (acc * winv) % bb.P
+    return out  # numpy: safe to cache across jit traces
+
+
+def fold_round(codeword, log_m: int, shift_int: int, beta):
+    """One FRI fold. codeword: (m, 4) ext Montgomery; beta: (4,) ext."""
+    m = 1 << log_m
+    half = m // 2
+    lo = codeword[:half]
+    hi = codeword[half:]
+    s = bb.add(lo, hi)                      # E(x) + E(-x)
+    d = bb.sub(lo, hi)                      # E(x) - E(-x)
+    inv_d = _inv_denoms(log_m, shift_int % bb.P)  # (half,)
+    # h-term: (E(x)-E(-x)) / (2x), then scale the whole by 1/2 for s-term:
+    inv2 = np.uint32(bb.to_monty_int(pow(2, bb.P - 2, bb.P)))
+    g = bb.mul(s, inv2)
+    h = bb.mul(d, inv_d[:, None])
+    return bb.add(g, ext4.mul(jnp.broadcast_to(beta, h.shape), h))
+
+
+def prove(
+    codeword: jnp.ndarray,
+    log_m: int,
+    shift_int: int,
+    config: FriConfig,
+    challenger: Challenger,
+) -> FriProof:
+    """codeword: (m, 4) extension codeword on natural-order coset shift*G."""
+    commits: List[merkle.MerkleTree] = []
+    roots: List[np.ndarray] = []
+    cw = codeword
+    lm = log_m
+    sh = shift_int % bb.P
+    shifts = []
+    while lm > config.log_final_poly_len:
+        tree = merkle.commit([cw])
+        commits.append(tree)
+        roots.append(tree.root_np())
+        challenger.observe_slice(tree.root_np())
+        beta = challenger.sample_ext()
+        shifts.append(sh)
+        cw = fold_round(cw, lm, sh, beta)
+        sh = (sh * sh) % bb.P
+        lm -= 1
+
+    # final polynomial: remaining codeword is (2^log_final_poly_len, 4) —
+    # constant when log_final_poly_len == 0; observe it.
+    final_vals = np.asarray(cw)
+    challenger.observe_slice(final_vals)
+
+    pow_witness = challenger.grind(config.proof_of_work_bits)
+
+    # query phase
+    indices = [challenger.sample_bits(log_m) for _ in range(config.num_queries)]
+    rounds: List[FriRoundProof] = []
+    for r, tree in enumerate(commits):
+        m_r = 1 << (log_m - r)
+        half = m_r // 2
+        openings = []
+        for q0 in indices:
+            q = q0 % m_r
+            qq = q % half
+            openings.append(
+                (merkle.open_index(tree, qq), merkle.open_index(tree, qq + half))
+            )
+        rounds.append(FriRoundProof(openings=openings))
+
+    return FriProof(
+        commitments=roots,
+        final_poly=final_vals,
+        pow_witness=pow_witness,
+        rounds=rounds,
+        query_indices=indices,
+    )
+
+
+def _ext_mul_np(a, b):
+    """Ext mult on canonical numpy int arrays (verifier-side, tiny)."""
+    c = [0] * 7
+    for i in range(4):
+        for j in range(4):
+            c[i + j] += int(a[i]) * int(b[j])
+    for k in range(6, 3, -1):
+        c[k - 4] += ext4.W_INT * c[k]
+    return np.array([v % bb.P for v in c[:4]], dtype=np.uint64)
+
+
+def _monty_row_to_canonical(row):
+    return np.asarray(bb.from_monty(jnp.asarray(np.asarray(row, dtype=np.uint32))))
+
+
+def verify(
+    proof: FriProof,
+    log_m: int,
+    shift_int: int,
+    config: FriConfig,
+    challenger: Challenger,
+    initial_values,
+) -> bool:
+    """Verify a FRI proof.
+
+    initial_values: callable(q)-> canonical (4,) value of the round-0 codeword
+    at index q (the verifier recomputes this from the outer STARK openings),
+    or None to trust the round-0 Merkle openings (pure low-degree test).
+    """
+    n_rounds = log_m - config.log_final_poly_len
+    if len(proof.commitments) != n_rounds:
+        return False
+    betas = []
+    for root in proof.commitments:
+        challenger.observe_slice(np.asarray(root, dtype=np.uint32))
+        b = challenger.sample_ext()
+        betas.append(_monty_row_to_canonical(np.asarray(b)))
+    challenger.observe_slice(proof.final_poly)
+    if not challenger.check_witness(config.proof_of_work_bits, proof.pow_witness):
+        return False
+    indices = [challenger.sample_bits(log_m) for _ in range(config.num_queries)]
+    if indices != list(proof.query_indices):
+        return False
+
+    final_canon = _monty_row_to_canonical(
+        np.asarray(proof.final_poly).reshape(-1, 4)
+    )
+
+    inv2 = pow(2, bb.P - 2, bb.P)
+    for qi, q0 in enumerate(indices):
+        sh = shift_int % bb.P
+        value = None  # canonical (4,) expected value at current index
+        q = q0
+        for r in range(n_rounds):
+            lm = log_m - r
+            m_r = 1 << lm
+            half = m_r // 2
+            q %= m_r
+            qq = q % half
+            op_lo, op_hi = proof.rounds[r].openings[qi]
+            if op_lo.index != qq or op_hi.index != qq + half:
+                return False
+            root = proof.commitments[r]
+            if not merkle.verify_opening(root, op_lo, [m_r]):
+                return False
+            if not merkle.verify_opening(root, op_hi, [m_r]):
+                return False
+            lo = _monty_row_to_canonical(op_lo.rows[0])
+            hi = _monty_row_to_canonical(op_hi.rows[0])
+            opened = lo if q < half else hi
+            if r == 0 and initial_values is not None:
+                # bind the committed round-0 codeword to the outer openings at
+                # BOTH queried positions (x and -x)
+                exp_lo = np.asarray(initial_values(qq), dtype=np.uint64) % bb.P
+                exp_hi = (
+                    np.asarray(initial_values(qq + half), dtype=np.uint64) % bb.P
+                )
+                if not (exp_lo == lo.astype(np.uint64)).all():
+                    return False
+                if not (exp_hi == hi.astype(np.uint64)).all():
+                    return False
+            if value is not None:
+                if not (value == opened.astype(np.uint64)).all():
+                    return False
+            # fold to next round's expected value
+            w = bb.two_adic_generator_int(lm)
+            x = (sh * pow(w, qq, bb.P)) % bb.P
+            s_v = (lo.astype(np.uint64) + hi) % bb.P
+            d_v = (lo.astype(np.int64) - hi.astype(np.int64)) % bb.P
+            g = (s_v * inv2) % bb.P
+            inv2x = pow(2 * x % bb.P, bb.P - 2, bb.P)
+            h = (d_v * inv2x) % bb.P
+            value = (g + _ext_mul_np(betas[r], h)) % bb.P
+            q = qq
+            sh = (sh * sh) % bb.P
+        # compare against final poly (constant for log_final_poly_len=0)
+        if config.log_final_poly_len == 0:
+            if not (value == final_canon[0].astype(np.uint64)).all():
+                return False
+        else:
+            # evaluate final poly at the query point (coefficient form NOT
+            # used in round 1: final codeword is sent in evaluation form)
+            if not (value == final_canon[q].astype(np.uint64)).all():
+                return False
+    return True
