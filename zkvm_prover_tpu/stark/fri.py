@@ -88,29 +88,39 @@ def fold_round(codeword, log_m: int, shift_int: int, beta):
 
 
 def prove(
-    codeword: jnp.ndarray,
+    codeword,
     log_m: int,
     shift_int: int,
     config: FriConfig,
     challenger: Challenger,
+    injected=None,
 ) -> FriProof:
-    """codeword: (m, 4) extension codeword on natural-order coset shift*G."""
+    """FRI commit + query phases.
+
+    codeword: (m, 4) extension codeword on the natural-order coset shift*G.
+    injected: optional dict {log_m' -> (m', 4) codeword} added into the fold
+    when the round size reaches m' (multi-height batch opening, the
+    mixed-trace-height case of openvm's multi-AIR proofs). Injected
+    codewords MUST live on the coset shift^(2^(log_m - log_m')) * G_{m'} —
+    i.e. the shift chain the fold itself produces.
+    """
+    injected = injected or {}
     commits: List[merkle.MerkleTree] = []
     roots: List[np.ndarray] = []
     cw = codeword
     lm = log_m
     sh = shift_int % bb.P
-    shifts = []
     while lm > config.log_final_poly_len:
         tree = merkle.commit([cw])
         commits.append(tree)
         roots.append(tree.root_np())
         challenger.observe_slice(tree.root_np())
         beta = challenger.sample_ext()
-        shifts.append(sh)
         cw = fold_round(cw, lm, sh, beta)
         sh = (sh * sh) % bb.P
         lm -= 1
+        if lm in injected:
+            cw = bb.add(cw, injected[lm])
 
     # final polynomial: remaining codeword is (2^log_final_poly_len, 4) —
     # constant when log_final_poly_len == 0; observe it.
@@ -168,10 +178,20 @@ def verify(
 ) -> bool:
     """Verify a FRI proof.
 
-    initial_values: callable(q)-> canonical (4,) value of the round-0 codeword
-    at index q (the verifier recomputes this from the outer STARK openings),
-    or None to trust the round-0 Merkle openings (pure low-degree test).
+    initial_values: the verifier-recomputed ("derived") codeword values from
+    the outer STARK openings. Either
+      - callable(q) -> canonical (4,) for the round-0 codeword, or
+      - dict {log_m' -> callable(q)} — the multi-height case: log_m entry is
+        the round-0 codeword; other entries are codewords injected into the
+        fold when the round size reaches 2^log_m' (must match prover), or
+      - None to trust the round-0 Merkle openings (pure low-degree test).
     """
+    if initial_values is None:
+        derived = {}
+    elif callable(initial_values):
+        derived = {log_m: initial_values}
+    else:
+        derived = dict(initial_values)
     n_rounds = log_m - config.log_final_poly_len
     if len(proof.commitments) != n_rounds:
         return False
@@ -213,18 +233,23 @@ def verify(
             lo = _monty_row_to_canonical(op_lo.rows[0])
             hi = _monty_row_to_canonical(op_hi.rows[0])
             opened = lo if q < half else hi
-            if r == 0 and initial_values is not None:
+            if r == 0 and lm in derived:
                 # bind the committed round-0 codeword to the outer openings at
                 # BOTH queried positions (x and -x)
-                exp_lo = np.asarray(initial_values(qq), dtype=np.uint64) % bb.P
+                exp_lo = np.asarray(derived[lm](qq), dtype=np.uint64) % bb.P
                 exp_hi = (
-                    np.asarray(initial_values(qq + half), dtype=np.uint64) % bb.P
+                    np.asarray(derived[lm](qq + half), dtype=np.uint64) % bb.P
                 )
                 if not (exp_lo == lo.astype(np.uint64)).all():
                     return False
                 if not (exp_hi == hi.astype(np.uint64)).all():
                     return False
             if value is not None:
+                if r > 0 and lm in derived:
+                    # a codeword was injected into the fold at this size
+                    value = (
+                        value + np.asarray(derived[lm](q), dtype=np.uint64)
+                    ) % bb.P
                 if not (value == opened.astype(np.uint64)).all():
                     return False
             # fold to next round's expected value
