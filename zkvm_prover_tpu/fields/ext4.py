@@ -94,6 +94,19 @@ def square(a):
     return mul(a, a)
 
 
+def from_base_cols(cols):
+    """Reassemble ext value(s) from 4 separately-opened base columns:
+    cols: (..., 4 basecol, 4 extcoord) -> sum_c cols[..., c, :] * x^c."""
+    import numpy as _np
+
+    acc = cols[..., 0, :]
+    for c in range(1, 4):
+        basis = _np.zeros(4, dtype=_np.uint32)
+        basis[c] = bb.ONE
+        acc = add(acc, mul(cols[..., c, :], jnp.asarray(basis)))
+    return acc
+
+
 def frobenius(a, k: int = 1):
     """a -> a^(p^k), i.e. coefficient i scaled by DTH_ROOT^(i*k)."""
     scal = np.ones(4, dtype=np.uint64)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..stark import fri, machine, merkle
 
-CODEC_VERSION = 1
+CODEC_VERSION = 2
 
 
 def _enc_arr(a) -> dict:
@@ -86,19 +86,35 @@ def machine_proof_to_dict(p: machine.MachineProof) -> dict:
         "quotient_roots": {
             str(k): _enc_arr(v) for k, v in p.quotient_roots.items()
         },
+        "perm_roots": {str(k): _enc_arr(v) for k, v in p.perm_roots.items()},
+        "claimed_sums": [
+            None if cs is None else _enc_arr(cs) for cs in p.claimed_sums
+        ],
         "opened": [
             {
                 "trace_zeta": _enc_arr(ov.trace_zeta),
                 "trace_zeta_next": _enc_arr(ov.trace_zeta_next),
                 "quotient": _enc_arr(ov.quotient),
+                "perm_zeta": (
+                    None if ov.perm_zeta is None else _enc_arr(ov.perm_zeta)
+                ),
+                "perm_zeta_next": (
+                    None
+                    if ov.perm_zeta_next is None
+                    else _enc_arr(ov.perm_zeta_next)
+                ),
             }
             for ov in p.opened
         ],
         "fri": _enc_fri(p.fri_proof),
         "query_openings": {
             str(lm): {
-                str(pos): [_enc_opening(a), _enc_opening(b)]
-                for pos, (a, b) in d.items()
+                str(pos): {
+                    "trace": _enc_opening(qo.trace),
+                    "quotient": _enc_opening(qo.quotient),
+                    "perm": None if qo.perm is None else _enc_opening(qo.perm),
+                }
+                for pos, qo in d.items()
             }
             for lm, d in p.query_openings.items()
         },
@@ -114,19 +130,41 @@ def machine_proof_from_dict(d) -> machine.MachineProof:
         quotient_roots={
             int(k): _dec_arr(v) for k, v in d["quotient_roots"].items()
         },
+        perm_roots={int(k): _dec_arr(v) for k, v in d["perm_roots"].items()},
+        claimed_sums=[
+            None if cs is None else _dec_arr(cs) for cs in d["claimed_sums"]
+        ],
         opened=[
             machine.OpenedValues(
                 trace_zeta=_dec_arr(ov["trace_zeta"]),
                 trace_zeta_next=_dec_arr(ov["trace_zeta_next"]),
                 quotient=_dec_arr(ov["quotient"]),
+                perm_zeta=(
+                    None
+                    if ov.get("perm_zeta") is None
+                    else _dec_arr(ov["perm_zeta"])
+                ),
+                perm_zeta_next=(
+                    None
+                    if ov.get("perm_zeta_next") is None
+                    else _dec_arr(ov["perm_zeta_next"])
+                ),
             )
             for ov in d["opened"]
         ],
         fri_proof=_dec_fri(d["fri"]),
         query_openings={
             int(lm): {
-                int(pos): (_dec_opening(a), _dec_opening(b))
-                for pos, (a, b) in dd.items()
+                int(pos): machine.QueryOpening(
+                    trace=_dec_opening(qo["trace"]),
+                    quotient=_dec_opening(qo["quotient"]),
+                    perm=(
+                        None
+                        if qo.get("perm") is None
+                        else _dec_opening(qo["perm"])
+                    ),
+                )
+                for pos, qo in dd.items()
             }
             for lm, dd in d["query_openings"].items()
         },

@@ -46,6 +46,21 @@ class Air:
         raise NotImplementedError
 
 
+class Interaction:
+    """One logUp bus interaction declared by an AIR during eval().
+
+    Mirrors the structure of openvm/plonky3 interactions (send/receive over a
+    bus with a message and multiplicity; SURVEY.md §2.2 "VM extension AIRs"
+    cross-chip communication). fields/mult are builder expressions.
+    """
+
+    def __init__(self, bus: int, fields, mult, is_send: bool):
+        self.bus = bus
+        self.fields = list(fields)
+        self.mult = mult
+        self.is_send = is_send
+
+
 class AirBuilder:
     """Common builder API. Subclasses provide field ops + variable access."""
 
@@ -84,6 +99,17 @@ class AirBuilder:
     def constant(self, v: int):
         """Canonical integer -> field value."""
         raise NotImplementedError
+
+    # interactions (logUp buses)
+    def push_send(self, bus: int, fields, mult):
+        self._interactions.append(Interaction(bus, fields, mult, True))
+
+    def push_receive(self, bus: int, fields, mult):
+        self._interactions.append(Interaction(bus, fields, mult, False))
+
+    @property
+    def interactions(self):
+        return self._interactions
 
     # constraint registration
     def assert_zero(self, expr):
@@ -139,6 +165,7 @@ class LdeBuilder(AirBuilder):
         self._sels = sels  # dict: first, last, transition -> (m,) arrays
         self._pvs = public_values  # (n_pv,) Montgomery array
         self._constraints: List[Any] = []
+        self._interactions: List[Interaction] = []
 
     def local(self, col):
         return self._lde[:, col]
@@ -188,6 +215,7 @@ class PointBuilder(AirBuilder):
         self._sels = sels_ext
         self._pvs = public_values
         self._constraints: List[Any] = []
+        self._interactions: List[Interaction] = []
 
     def local(self, col):
         return self._local[col]
@@ -232,3 +260,24 @@ class PointBuilder(AirBuilder):
     @property
     def constraints(self):
         return self._constraints
+
+
+class TraceBuilder(LdeBuilder):
+    """Evaluation over the raw trace domain H (blowup 1) — used to extract
+    interaction field/multiplicity vectors for logUp permutation-trace
+    generation. Selectors are exact 0/1 indicator rows."""
+
+    def __init__(self, trace_m, public_values):
+        n = int(trace_m.shape[0])
+        first = np.zeros(n, dtype=np.uint32)
+        first[0] = bb.ONE
+        last = np.zeros(n, dtype=np.uint32)
+        last[-1] = bb.ONE
+        transition = np.full(n, bb.ONE, dtype=np.uint32)
+        transition[-1] = 0
+        sels = {
+            "first": jnp.asarray(first),
+            "last": jnp.asarray(last),
+            "transition": jnp.asarray(transition),
+        }
+        super().__init__(trace_m, 1, sels, public_values)

@@ -1,0 +1,140 @@
+"""logUp permutation argument: cross-AIR bus interactions.
+
+The TPU re-design of openvm-stark-backend's interaction system (the lookup
+glue between the 42 chunk AIRs; SURVEY.md §2.2, §7 Phase 4 "lookup/permutation
+arguments"). Per AIR with k interactions, the permutation trace has k ext
+columns c_j = signed_mult_j / (z - fp_j) plus one running-sum column S
+(stored as 4 base columns each), with
+
+  fp_j  = bus_j + sum_k beta^(k+1) * field_{j,k}
+  sign  = +1 for sends, -1 for receives
+
+Constraints (all extension-valued, degree <= main_degree + 1):
+  c_j * (z - fp_j) - signed_mult_j               (every row)
+  first:      S - sum_j c_j
+  transition: S_next - S - sum_j c_j_next
+  last:       S - claimed_sum
+
+Soundness: sum of claimed_sums over all AIRs must be 0 (verifier check) —
+matched send/receive pairs cancel in the log-derivative sum.
+
+All prover-side work is vectorized: fingerprints and multiplicities come out
+of a TraceBuilder pass, the k inversions are one batched ext inversion, and
+the running sum is a `jax.lax.associative_scan` (parallel prefix sum).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields import babybear as bb
+from ..fields import ext4
+from ..models.air import Interaction
+
+PERM_COLS_PER_INTERACTION = 4  # ext coords as base columns
+
+
+def _as_ext(x):
+    x = jnp.asarray(x, dtype=jnp.uint32)
+    if x.ndim >= 1 and x.shape[-1] == 4:
+        return x
+    return ext4.from_base(x)
+
+
+def _mul_sel(c_ext, sel):
+    """Multiply ext constraint by a selector (base array in LDE mode, ext
+    value in point mode)."""
+    sel = jnp.asarray(sel, dtype=jnp.uint32)
+    if sel.ndim >= 1 and sel.shape[-1] == 4 and sel.ndim == c_ext.ndim:
+        return ext4.mul(c_ext, sel)
+    return bb.mul(c_ext, sel[..., None])
+
+
+def fingerprint(inter: Interaction, z, beta):
+    """fp = bus + sum_k beta^(k+1) * field_k, broadcast over rows."""
+    bus_m = np.zeros(4, dtype=np.uint32)
+    bus_m[0] = bb.to_monty_int(inter.bus)
+    acc = jnp.asarray(bus_m)
+    bpow = beta
+    for f in inter.fields:
+        fe = _as_ext(f)
+        term = ext4.mul(jnp.broadcast_to(bpow, fe.shape), fe)
+        acc = ext4.add(
+            jnp.broadcast_to(acc, term.shape) if acc.ndim < term.ndim else acc,
+            term,
+        )
+        bpow = ext4.mul(bpow, beta)
+    return acc
+
+
+def signed_mult(inter: Interaction):
+    m = _as_ext(inter.mult)
+    return m if inter.is_send else ext4.neg(m)
+
+
+def build_perm_trace(interactions: Sequence[Interaction], z, beta):
+    """Prover-side: (perm_matrix (n, 4k+4) base Montgomery, claimed_sum (4,)).
+
+    interactions carry (n,)-vector fields/mults from a TraceBuilder pass.
+    """
+    cols = []
+    for inter in interactions:
+        fp = fingerprint(inter, z, beta)          # (n, 4)
+        sm = signed_mult(inter)                   # (n, 4) or (4,)
+        denom = ext4.sub(jnp.broadcast_to(z, fp.shape), fp)
+        c = ext4.mul(jnp.broadcast_to(sm, fp.shape), ext4.inv(denom))
+        cols.append(c)
+    total = cols[0]
+    for c in cols[1:]:
+        total = ext4.add(total, c)
+    run_sum = jax.lax.associative_scan(bb.add, total, axis=0)  # (n, 4)
+    claimed = run_sum[-1]
+    perm = jnp.concatenate(cols + [run_sum], axis=1)  # (n, 4k+4)
+    return perm, claimed
+
+
+def perm_constraints(
+    interactions: Sequence[Interaction],
+    perm_local: List,       # k+1 ext values/arrays (cols then S)
+    perm_next: List,
+    sels,                   # dict with first/last/transition (builder mode)
+    z,
+    beta,
+    claimed_sum,            # (4,) ext Montgomery
+) -> List:
+    k = len(interactions)
+    assert len(perm_local) == k + 1
+    out = []
+    for j, inter in enumerate(interactions):
+        fp = fingerprint(inter, z, beta)
+        sm = signed_mult(inter)
+        c = perm_local[j]
+        lhs = ext4.mul(c, ext4.sub(jnp.broadcast_to(z, fp.shape), fp))
+        out.append(ext4.sub(lhs, jnp.broadcast_to(sm, lhs.shape)))
+
+    s_local = perm_local[k]
+    s_next = perm_next[k]
+    csum = perm_local[0]
+    for j in range(1, k):
+        csum = ext4.add(csum, perm_local[j])
+    csum_next = perm_next[0]
+    for j in range(1, k):
+        csum_next = ext4.add(csum_next, perm_next[j])
+
+    out.append(_mul_sel(ext4.sub(s_local, csum), sels["first"]))
+    out.append(
+        _mul_sel(
+            ext4.sub(ext4.sub(s_next, s_local), csum_next), sels["transition"]
+        )
+    )
+    out.append(
+        _mul_sel(
+            ext4.sub(s_local, jnp.broadcast_to(claimed_sum, s_local.shape)),
+            sels["last"],
+        )
+    )
+    return out

@@ -1,19 +1,22 @@
 """Multi-AIR machine proofs: many AIRs with mixed trace heights, one shared
-transcript, per-height commitments, and one FRI with per-height codeword
-injection.
+transcript, logUp bus interactions, per-height commitments, and one FRI with
+per-height codeword injection.
 
 This is the TPU re-design of the reference's multi-AIR segment proofs
-(openvm-stark-backend proves 42 AIRs per chunk segment under one challenger;
-SURVEY.md §2.2 "STARK prover", §7 Phase 4). Structure:
+(openvm-stark-backend proves 42 AIRs per chunk segment under one challenger,
+with logUp interactions gluing chips together; SURVEY.md §2.2 "STARK
+prover", §7 Phase 4). Structure:
 
-- Matrices are grouped by LDE height; each height gets one trace commitment
-  and one quotient-chunk commitment (so FRI query indexing per height is the
-  natural `q mod m'` of the fold chain — no bit-reversed interleaving).
+- Matrices are grouped by LDE height; each height gets one trace commitment,
+  one permutation commitment (if any AIR at that height has interactions) and
+  one quotient-chunk commitment, so FRI query indexing per height is the
+  natural `q mod m'` of the fold chain.
 - LDE coset shifts follow the fold chain: a height-2^l matrix commits on
-  shift(l) = g^(2^(L-l)) (L = max log-height), which is exactly the coset the
-  FRI fold lands on after L-l rounds — injected codewords line up for free.
-- One alpha (per-AIR constraint folding), one zeta (all openings), one gamma
-  (global power index across every opened column of every AIR).
+  shift(l) = g^(2^(L-l)) (L = max log-height) — injected codewords line up
+  with the FRI fold domains for free.
+- Transcript: meta -> trace roots -> (beta, z) -> perm roots + claimed sums
+  -> alpha -> quotient roots -> zeta -> openings -> gamma -> FRI.
+- Global logUp soundness: sum of per-AIR claimed cumulative sums == 0.
 """
 
 from __future__ import annotations
@@ -27,13 +30,19 @@ import jax.numpy as jnp
 
 from ..fields import babybear as bb
 from ..fields import ext4
-from ..models.air import Air, LdeBuilder, PointBuilder, LOG_QUOTIENT_DEGREE
+from ..models.air import (
+    Air,
+    LdeBuilder,
+    PointBuilder,
+    TraceBuilder,
+    LOG_QUOTIENT_DEGREE,
+)
 from ..ops import ntt
 from ..utils import ext_np
-from . import domain, fri, merkle
+from . import domain, fri, interactions as ilib, merkle
 from .challenger import Challenger
 from .config import StarkConfig
-from .prover import _deep_combine, _fold_constraints_ext, _observe_opened
+from .prover import _observe_opened
 
 P = bb.P
 N_CHUNKS = 1 << LOG_QUOTIENT_DEGREE
@@ -51,6 +60,15 @@ class OpenedValues:
     trace_zeta: np.ndarray         # (w, 4) Montgomery
     trace_zeta_next: np.ndarray    # (w, 4)
     quotient: np.ndarray           # (N_CHUNKS*4, 4)
+    perm_zeta: Optional[np.ndarray] = None       # (4k+4, 4)
+    perm_zeta_next: Optional[np.ndarray] = None
+
+
+@dataclass
+class QueryOpening:
+    trace: merkle.Opening
+    quotient: merkle.Opening
+    perm: Optional[merkle.Opening] = None
 
 
 @dataclass
@@ -58,15 +76,69 @@ class MachineProof:
     meta: List[Tuple[int, int, List[int]]]   # per AIR: (log_n, width, pvs)
     trace_roots: Dict[int, np.ndarray]       # log_m -> (8,)
     quotient_roots: Dict[int, np.ndarray]
+    perm_roots: Dict[int, np.ndarray]        # heights with interactions only
+    claimed_sums: List[Optional[np.ndarray]] # per AIR, (4,) Montgomery
     opened: List[OpenedValues]
     fri_proof: fri.FriProof
-    # log_m -> {pos -> (trace Opening, quotient Opening)}
-    query_openings: Dict[int, Dict[int, Tuple[merkle.Opening, merkle.Opening]]]
+    query_openings: Dict[int, Dict[int, QueryOpening]]
     stat: Dict[str, float] = field(default_factory=dict)
 
 
 def _shift_for(log_m: int, log_max: int, g: int) -> int:
     return pow(g, 1 << (log_max - log_m), P)
+
+
+def _fold_mixed_ext(constraints: List, alpha) -> jnp.ndarray:
+    """C = sum_i alpha^i * c_i over mixed base (m,) / ext (m, 4) constraints.
+    Returns (m, 4)."""
+    apows = ext4.powers(alpha, len(constraints))
+    acc = None
+    for i, c in enumerate(constraints):
+        c = jnp.asarray(c, dtype=jnp.uint32)
+        if c.ndim == 1:
+            term = bb.mul(c[:, None], apows[i][None, :])
+        else:
+            term = ext4.mul(c, jnp.broadcast_to(apows[i], c.shape))
+        acc = term if acc is None else bb.add(acc, term)
+    return acc
+
+
+def _deep_terms(lde_mats: List[jnp.ndarray], opened_list, x_monty, points,
+                gamma, gamma_base: int):
+    """Batch-opening combination for one AIR on its LDE domain.
+
+    lde_mats: matrices (m, w_i); opened_list: matching (w_i, 4) openings;
+    points: matching (4,) opening points. Returns (m, 4) and the next gamma
+    index. Terms are grouped per (matrix, point) pair in order.
+    """
+    m = lde_mats[0].shape[0]
+    x_ext = ext4.from_base(jnp.asarray(x_monty))
+    acc = jnp.zeros((m, 4), dtype=jnp.uint32)
+    gidx = gamma_base
+    for mat, opened, pt in zip(lde_mats, opened_list, points):
+        w = mat.shape[1]
+        inv_x = ext4.inv(ext4.sub(x_ext, pt[None, :]))
+        gammas = ext4.powers(gamma, gidx + w)[gidx:]
+        diff = ext4.from_base(mat)  # (m, w, 4)
+        diff = bb.sub(diff, jnp.broadcast_to(opened[None, :, :], diff.shape))
+        weighted = ext4.mul(
+            diff, jnp.broadcast_to(gammas[None, :, :], diff.shape)
+        )
+        summed = ntt.field_sum(weighted, axis=1)
+        acc = bb.add(acc, ext4.mul(summed, inv_x))
+        gidx += w
+    return acc, gidx
+
+
+def _extract_interactions(air: Air, trace_m, pvs_m):
+    tb = TraceBuilder(trace_m, pvs_m)
+    air.eval(tb)
+    return tb.interactions
+
+
+def _perm_ext_groups(perm_mat, k: int):
+    """Split an (m, 4k+4) base matrix into k+1 ext-valued (m, 4) groups."""
+    return [perm_mat[:, 4 * j : 4 * j + 4] for j in range(k + 1)]
 
 
 def prove_machine(
@@ -78,15 +150,19 @@ def prove_machine(
     log_blowup = config.log_blowup
     g = config.coset_shift % P
     assert log_blowup == 1
+    blowup = 1 << log_blowup
 
     metas = []
     log_ms = []
     for inst in instances:
         n, w = int(inst.trace.shape[0]), int(inst.trace.shape[1])
         assert n & (n - 1) == 0
-        metas.append((n.bit_length() - 1, w, [int(v) for v in inst.public_values]))
+        metas.append(
+            (n.bit_length() - 1, w, [int(v) for v in inst.public_values])
+        )
         log_ms.append(n.bit_length() - 1 + log_blowup)
     log_max = max(log_ms)
+    heights = sorted(set(log_ms), reverse=True)
 
     ch = Challenger()
     ch.observe_canonical_u32(len(instances))
@@ -96,38 +172,94 @@ def prove_machine(
         for pv in pvs:
             ch.observe_canonical_u32(pv)
 
-    # ---- trace LDEs, grouped by height -----------------------------------
+    pvs_ms = [
+        jnp.asarray(
+            np.array([bb.to_monty_int(v % P) for v in pvs], dtype=np.uint32)
+        )
+        for (_, _, pvs) in metas
+    ]
+
+    # ---- phase 1: main trace LDEs, commit per height ----------------------
+    trace_ms = []
     trace_ldes = []
     trace_crevs = []
-    for inst, (log_n, w, _), lm in zip(instances, metas, log_ms):
+    for inst, lm in zip(instances, log_ms):
         shift = _shift_for(lm, log_max, g)
-        trace_m = bb.to_monty(jnp.asarray(np.asarray(inst.trace, dtype=np.uint32)))
+        trace_m = bb.to_monty(
+            jnp.asarray(np.asarray(inst.trace, dtype=np.uint32))
+        )
+        trace_ms.append(trace_m)
         cr = ntt.interpolate_coset_rev(trace_m, 1)
         trace_crevs.append(cr)
         trace_ldes.append(ntt.eval_coset_from_rev(cr, log_blowup, shift))
 
-    heights = sorted(set(log_ms), reverse=True)
     trace_trees: Dict[int, merkle.MerkleTree] = {}
     for lm in heights:
         mats = [trace_ldes[i] for i in range(len(instances)) if log_ms[i] == lm]
         trace_trees[lm] = merkle.commit(mats)
         ch.observe_slice(trace_trees[lm].root_np())
-    alpha = ch.sample_ext()
 
-    # ---- quotients --------------------------------------------------------
+    # ---- phase 2: logUp permutation traces --------------------------------
+    beta = ch.sample_ext()
+    z = ch.sample_ext()
+
+    inters_per_air = [
+        _extract_interactions(inst.air, trace_ms[i], pvs_ms[i])
+        for i, inst in enumerate(instances)
+    ]
+    perm_ldes: List[Optional[jnp.ndarray]] = [None] * len(instances)
+    perm_crevs: List[Optional[jnp.ndarray]] = [None] * len(instances)
+    claimed_sums: List[Optional[np.ndarray]] = [None] * len(instances)
+    for i, inters in enumerate(inters_per_air):
+        if not inters:
+            continue
+        perm, claimed = ilib.build_perm_trace(inters, z, beta)
+        claimed_sums[i] = np.asarray(claimed)
+        shift = _shift_for(log_ms[i], log_max, g)
+        cr = ntt.interpolate_coset_rev(perm, 1)
+        perm_crevs[i] = cr
+        perm_ldes[i] = ntt.eval_coset_from_rev(cr, log_blowup, shift)
+
+    perm_trees: Dict[int, merkle.MerkleTree] = {}
+    for lm in heights:
+        mats = [
+            perm_ldes[i]
+            for i in range(len(instances))
+            if log_ms[i] == lm and perm_ldes[i] is not None
+        ]
+        if mats:
+            perm_trees[lm] = merkle.commit(mats)
+            ch.observe_slice(perm_trees[lm].root_np())
+    for cs in claimed_sums:
+        if cs is not None:
+            ch.observe_slice(cs)
+
+    # ---- phase 3: quotients ----------------------------------------------
+    alpha = ch.sample_ext()
     chunk_ldes = []
     chunk_crevs = []
-    for i, (inst, (log_n, w, pvs), lm) in enumerate(zip(instances, metas, log_ms)):
+    for i, (inst, (log_n, w, pvs), lm) in enumerate(
+        zip(instances, metas, log_ms)
+    ):
         shift = _shift_for(lm, log_max, g)
         sels = domain.selectors_on_coset(log_n, log_blowup, shift)
-        pvs_m = jnp.asarray(
-            np.array([bb.to_monty_int(v % P) for v in pvs], dtype=np.uint32)
-        )
-        builder = LdeBuilder(trace_ldes[i], 1 << log_blowup, sels, pvs_m)
+        builder = LdeBuilder(trace_ldes[i], blowup, sels, pvs_ms[i])
         inst.air.eval(builder)
-        cons = jnp.stack(builder.constraints, axis=0)
-        alpha_pows = ext4.powers(alpha, cons.shape[0])
-        c_folded = _fold_constraints_ext(cons, alpha_pows)
+        constraints = list(builder.constraints)
+        if inters_per_air[i]:
+            k = len(inters_per_air[i])
+            groups = _perm_ext_groups(perm_ldes[i], k)
+            groups_next = [jnp.roll(gp, -blowup, axis=0) for gp in groups]
+            constraints += ilib.perm_constraints(
+                builder.interactions,  # LDE-vector fields/mults
+                groups,
+                groups_next,
+                sels,
+                z,
+                beta,
+                jnp.asarray(claimed_sums[i]),
+            )
+        c_folded = _fold_mixed_ext(constraints, alpha)
         q = bb.mul(c_folded, jnp.asarray(sels["inv_zh"])[:, None])
 
         w_m_int = bb.two_adic_generator_int(lm)
@@ -148,7 +280,7 @@ def prove_machine(
         ch.observe_slice(quotient_trees[lm].root_np())
     zeta = ch.sample_ext()
 
-    # ---- openings ---------------------------------------------------------
+    # ---- phase 4: openings ------------------------------------------------
     opened: List[OpenedValues] = []
     for i, ((log_n, w, _), lm) in enumerate(zip(metas, log_ms)):
         g_h = bb.two_adic_generator_int(log_n)
@@ -159,17 +291,22 @@ def prove_machine(
             [ntt.eval_poly_at_point_ext(cr, zeta) for cr in chunk_crevs[i]],
             axis=0,
         )
-        opened.append(
-            OpenedValues(
-                trace_zeta=np.asarray(t_z),
-                trace_zeta_next=np.asarray(t_zn),
-                quotient=np.asarray(q_z),
-            )
+        ov = OpenedValues(
+            trace_zeta=np.asarray(t_z),
+            trace_zeta_next=np.asarray(t_zn),
+            quotient=np.asarray(q_z),
         )
         _observe_opened(ch, t_z, t_zn, q_z)
+        if perm_crevs[i] is not None:
+            p_z = ntt.eval_poly_at_point_ext(perm_crevs[i], zeta)
+            p_zn = ntt.eval_poly_at_point_ext(perm_crevs[i], zeta_next)
+            ov.perm_zeta = np.asarray(p_z)
+            ov.perm_zeta_next = np.asarray(p_zn)
+            _observe_opened(ch, p_z, p_zn)
+        opened.append(ov)
     gamma = ch.sample_ext()
 
-    # ---- per-height DEEP codewords ---------------------------------------
+    # ---- phase 5: per-height DEEP codewords + FRI ------------------------
     gamma_base = 0
     codewords: Dict[int, jnp.ndarray] = {}
     for i, ((log_n, w, _), lm) in enumerate(zip(metas, log_ms)):
@@ -177,28 +314,36 @@ def prove_machine(
         sels = domain.selectors_on_coset(log_n, log_blowup, shift)
         g_h = bb.two_adic_generator_int(log_n)
         zeta_next = ext4.mul_base(zeta, np.uint32(bb.to_monty_int(g_h)))
-        deep = _deep_combine(
-            trace_ldes[i], chunk_ldes[i], jnp.asarray(sels["x"]),
-            zeta, zeta_next,
+        mats = [trace_ldes[i], trace_ldes[i]]
+        opens = [
             jnp.asarray(opened[i].trace_zeta),
             jnp.asarray(opened[i].trace_zeta_next),
-            jnp.asarray(opened[i].quotient),
-            gamma,
+        ]
+        points = [zeta, zeta_next]
+        if perm_ldes[i] is not None:
+            mats += [perm_ldes[i], perm_ldes[i]]
+            opens += [
+                jnp.asarray(opened[i].perm_zeta),
+                jnp.asarray(opened[i].perm_zeta_next),
+            ]
+            points += [zeta, zeta_next]
+        mats.append(chunk_ldes[i])
+        opens.append(jnp.asarray(opened[i].quotient))
+        points.append(zeta)
+        deep, gamma_base = _deep_terms(
+            mats, opens, sels["x"], points, gamma, gamma_base
         )
-        scale = ext4.exp_const(gamma, gamma_base)
-        deep = ext4.mul(jnp.broadcast_to(scale, deep.shape), deep)
         codewords[lm] = (
             bb.add(codewords[lm], deep) if lm in codewords else deep
         )
-        gamma_base += 2 * w + 4 * N_CHUNKS
 
     injected = {lm: cw for lm, cw in codewords.items() if lm != log_max}
     fri_proof = fri.prove(
         codewords[log_max], log_max, g, config.fri, ch, injected=injected
     )
 
-    # ---- query openings per height ---------------------------------------
-    query_openings: Dict[int, Dict[int, Tuple[merkle.Opening, merkle.Opening]]] = {}
+    # ---- phase 6: query openings per height ------------------------------
+    query_openings: Dict[int, Dict[int, QueryOpening]] = {}
     for lm in heights:
         m_l = 1 << lm
         positions = set()
@@ -209,9 +354,14 @@ def prove_machine(
             else:
                 positions.add(q0 % m_l)
         query_openings[lm] = {
-            pos: (
-                merkle.open_index(trace_trees[lm], pos),
-                merkle.open_index(quotient_trees[lm], pos),
+            pos: QueryOpening(
+                trace=merkle.open_index(trace_trees[lm], pos),
+                quotient=merkle.open_index(quotient_trees[lm], pos),
+                perm=(
+                    merkle.open_index(perm_trees[lm], pos)
+                    if lm in perm_trees
+                    else None
+                ),
             )
             for pos in sorted(positions)
         }
@@ -220,6 +370,8 @@ def prove_machine(
         meta=metas,
         trace_roots={lm: trace_trees[lm].root_np() for lm in heights},
         quotient_roots={lm: quotient_trees[lm].root_np() for lm in heights},
+        perm_roots={lm: t.root_np() for lm, t in perm_trees.items()},
+        claimed_sums=claimed_sums,
         opened=opened,
         fri_proof=fri_proof,
         query_openings=query_openings,
@@ -228,6 +380,11 @@ def prove_machine(
             "n_airs": len(instances),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
 
 
 def verify_machine(
@@ -245,6 +402,17 @@ def verify_machine(
     log_max = max(log_ms)
     heights = sorted(set(log_ms), reverse=True)
 
+    from .verifier import _canon_ext
+
+    # which AIRs have interactions (re-derived from the AIR definitions via a
+    # dry TraceBuilder pass on a zero trace — interaction STRUCTURE is static)
+    inter_counts = []
+    for air, (log_n, w, _pvs) in zip(airs, metas):
+        zero_tm = jnp.zeros((2, w), dtype=jnp.uint32)
+        tb = TraceBuilder(zero_tm, jnp.zeros((len(_pvs),), dtype=jnp.uint32))
+        air.eval(tb)
+        inter_counts.append(len(tb.interactions))
+
     # ---- transcript replay ------------------------------------------------
     ch = Challenger()
     ch.observe_canonical_u32(len(metas))
@@ -257,15 +425,41 @@ def verify_machine(
         if lm not in proof.trace_roots:
             return False
         ch.observe_slice(proof.trace_roots[lm])
+    beta = ch.sample_ext()
+    z = ch.sample_ext()
+    for lm in heights:
+        has_perm = any(
+            inter_counts[i] and log_ms[i] == lm for i in range(len(metas))
+        )
+        if has_perm:
+            if lm not in proof.perm_roots:
+                return False
+            ch.observe_slice(proof.perm_roots[lm])
+    for i, cs in enumerate(proof.claimed_sums):
+        if (cs is not None) != bool(inter_counts[i]):
+            return False
+        if cs is not None:
+            ch.observe_slice(np.asarray(cs, dtype=np.uint32))
     alpha = ch.sample_ext()
     for lm in heights:
         ch.observe_slice(proof.quotient_roots[lm])
     zeta = ch.sample_ext()
-    for ov in proof.opened:
+    for i, ov in enumerate(proof.opened):
         _observe_opened(ch, ov.trace_zeta, ov.trace_zeta_next, ov.quotient)
+        if inter_counts[i]:
+            if ov.perm_zeta is None or ov.perm_zeta_next is None:
+                return False
+            _observe_opened(ch, ov.perm_zeta, ov.perm_zeta_next)
     gamma = ch.sample_ext()
 
-    from .verifier import _canon_ext
+    # ---- global logUp balance --------------------------------------------
+    if any(inter_counts):
+        total = [0, 0, 0, 0]
+        for cs in proof.claimed_sums:
+            if cs is not None:
+                total = ext_np.add(total, _canon_ext(np.asarray(cs)))
+        if not ext_np.is_zero(total):
+            return False
 
     zeta_c = _canon_ext(np.asarray(zeta))
     gamma_c = _canon_ext(np.asarray(gamma))
@@ -284,16 +478,38 @@ def verify_machine(
             pvs_m,
         )
         air.eval(pb)
+        constraints = list(pb.constraints)
+        if inter_counts[i]:
+            k = inter_counts[i]
+            pz = jnp.asarray(proof.opened[i].perm_zeta).reshape(k + 1, 4, 4)
+            pzn = jnp.asarray(proof.opened[i].perm_zeta_next).reshape(
+                k + 1, 4, 4
+            )
+            perm_local = [ext4.from_base_cols(pz[j]) for j in range(k + 1)]
+            perm_next = [ext4.from_base_cols(pzn[j]) for j in range(k + 1)]
+            constraints += ilib.perm_constraints(
+                pb.interactions,
+                perm_local,
+                perm_next,
+                sels_z,
+                z,
+                beta,
+                jnp.asarray(proof.claimed_sums[i]),
+            )
         acc = [0, 0, 0, 0]
         apow = ext_np.from_base(1)
-        for cons in pb.constraints:
-            acc = ext_np.add(acc, ext_np.mul(apow, _canon_ext(np.asarray(cons))))
+        for cons in constraints:
+            acc = ext_np.add(
+                acc, ext_np.mul(apow, _canon_ext(np.asarray(cons)))
+            )
             apow = ext_np.mul(apow, alpha_c)
         inv_zh = _canon_ext(np.asarray(sels_z["inv_zh"]))
         q_expected = ext_np.mul(acc, inv_zh)
 
         w_m_int = bb.two_adic_generator_int(lm)
-        v = [pow((shift * pow(w_m_int, r, P)) % P, n, P) for r in range(N_CHUNKS)]
+        v = [
+            pow((shift * pow(w_m_int, r, P)) % P, n, P) for r in range(N_CHUNKS)
+        ]
         zeta_n = ext_np.exp(zeta_c, n)
         opened_q = proof.opened[i].quotient.reshape(N_CHUNKS, 4, 4)
         q_zeta = [0, 0, 0, 0]
@@ -302,37 +518,65 @@ def verify_machine(
             l_num = ext_np.sub(zeta_n, ext_np.from_base(v[other]))
             denom_inv = pow((v[r] - v[other]) % P, P - 2, P)
             l_r = ext_np.scale(l_num, denom_inv)
-            chunk_val = [0, 0, 0, 0]
-            for c in range(4):
-                coeff = _canon_ext(opened_q[r, c])
-                basis = [0, 0, 0, 0]
-                basis[c] = 1
-                chunk_val = ext_np.add(chunk_val, ext_np.mul(coeff, basis))
+            chunk_val = _canon_ext(
+                np.asarray(ext4.from_base_cols(jnp.asarray(opened_q[r])))
+            )
             q_zeta = ext_np.add(q_zeta, ext_np.mul(l_r, chunk_val))
         if not ext_np.eq(q_expected, q_zeta):
             return False
 
     # ---- verify Merkle openings ------------------------------------------
     for lm in heights:
-        mat_heights = [1 << lm] * sum(1 for x in log_ms if x == lm)
-        for pos, (ot, oq) in proof.query_openings[lm].items():
-            if ot.index != pos or oq.index != pos:
-                return False
-            if not merkle.verify_opening(proof.trace_roots[lm], ot, mat_heights):
+        n_mats = sum(1 for x in log_ms if x == lm)
+        n_perm = sum(
+            1 for i in range(len(metas)) if log_ms[i] == lm and inter_counts[i]
+        )
+        for pos, qo in proof.query_openings[lm].items():
+            if qo.trace.index != pos or qo.quotient.index != pos:
                 return False
             if not merkle.verify_opening(
-                proof.quotient_roots[lm], oq, mat_heights
+                proof.trace_roots[lm], qo.trace, [1 << lm] * n_mats
             ):
                 return False
+            if not merkle.verify_opening(
+                proof.quotient_roots[lm], qo.quotient, [1 << lm] * n_mats
+            ):
+                return False
+            if n_perm:
+                if qo.perm is None or qo.perm.index != pos:
+                    return False
+                if not merkle.verify_opening(
+                    proof.perm_roots[lm], qo.perm, [1 << lm] * n_perm
+                ):
+                    return False
 
     # ---- derived codeword callbacks per height ---------------------------
-    # gamma offsets per AIR
+    def _acc_cols(row_canon, opened_canon, gammas, gidx):
+        acc = [0, 0, 0, 0]
+        for j in range(len(row_canon)):
+            d = ext_np.sub(
+                ext_np.from_base(int(row_canon[j])), opened_canon[j]
+            )
+            acc = ext_np.add(acc, ext_np.mul(gammas[gidx + j], d))
+        return acc, gidx + len(row_canon)
+
+    # total gamma terms
+    total_terms = 0
+    for i, (_, w, _) in enumerate(metas):
+        total_terms += 2 * w + 4 * N_CHUNKS
+        if inter_counts[i]:
+            total_terms += 2 * (4 * inter_counts[i] + 4)
+    gammas = ext_np.powers(gamma_c, max(total_terms, 1))
+
+    # per-AIR gamma offsets in prover order
     offsets = []
     off = 0
-    for (log_n, w, _) in metas:
+    for i, (_, w, _) in enumerate(metas):
         offsets.append(off)
-        off += 2 * w + 4 * N_CHUNKS
-    gammas = ext_np.powers(gamma_c, off)
+        off += 2 * w
+        if inter_counts[i]:
+            off += 2 * (4 * inter_counts[i] + 4)
+        off += 4 * N_CHUNKS
 
     def make_derived(lm):
         airs_here = [i for i in range(len(metas)) if log_ms[i] == lm]
@@ -340,12 +584,12 @@ def verify_machine(
         w_m_int = bb.two_adic_generator_int(lm)
 
         def derived(idx: int):
-            entry = proof.query_openings[lm].get(idx)
-            if entry is None:
+            qo = proof.query_openings[lm].get(idx)
+            if qo is None:
                 raise KeyError(f"missing opening at height {lm} pos {idx}")
-            ot, oq = entry
             x = (shift * pow(w_m_int, idx, P)) % P
             total = [0, 0, 0, 0]
+            perm_slot = 0
             for slot, i in enumerate(airs_here):
                 log_n, w, _ = metas[i]
                 g_h = bb.two_adic_generator_int(log_n)
@@ -353,32 +597,37 @@ def verify_machine(
                 inv_xz = ext_np.inv(ext_np.sub(ext_np.from_base(x), zeta_c))
                 inv_xzg = ext_np.inv(ext_np.sub(ext_np.from_base(x), zeta_g))
                 trow = np.asarray(
-                    bb.from_monty(jnp.asarray(ot.rows[slot]))
+                    bb.from_monty(jnp.asarray(qo.trace.rows[slot]))
                 ).astype(np.int64)
                 qrow = np.asarray(
-                    bb.from_monty(jnp.asarray(oq.rows[slot]))
+                    bb.from_monty(jnp.asarray(qo.quotient.rows[slot]))
                 ).astype(np.int64)
                 t_z = _canon_ext(proof.opened[i].trace_zeta)
                 t_zn = _canon_ext(proof.opened[i].trace_zeta_next)
                 q_z = _canon_ext(proof.opened[i].quotient)
-                base = offsets[i]
-                acc1 = [0, 0, 0, 0]
-                acc2 = [0, 0, 0, 0]
-                acc3 = [0, 0, 0, 0]
-                for j in range(w):
-                    d1 = ext_np.sub(ext_np.from_base(int(trow[j])), t_z[j])
-                    acc1 = ext_np.add(acc1, ext_np.mul(gammas[base + j], d1))
-                    d2 = ext_np.sub(ext_np.from_base(int(trow[j])), t_zn[j])
-                    acc2 = ext_np.add(acc2, ext_np.mul(gammas[base + w + j], d2))
-                for k in range(4 * N_CHUNKS):
-                    d3 = ext_np.sub(ext_np.from_base(int(qrow[k])), q_z[k])
-                    acc3 = ext_np.add(
-                        acc3, ext_np.mul(gammas[base + 2 * w + k], d3)
-                    )
+                gidx = offsets[i]
+                a1, gidx = _acc_cols(trow, t_z, gammas, gidx)
+                a2, gidx = _acc_cols(trow, t_zn, gammas, gidx)
                 term = ext_np.add(
-                    ext_np.mul(ext_np.add(acc1, acc3), inv_xz),
-                    ext_np.mul(acc2, inv_xzg),
+                    ext_np.mul(a1, inv_xz), ext_np.mul(a2, inv_xzg)
                 )
+                if inter_counts[i]:
+                    prow = np.asarray(
+                        bb.from_monty(jnp.asarray(qo.perm.rows[perm_slot]))
+                    ).astype(np.int64)
+                    perm_slot += 1
+                    p_z = _canon_ext(proof.opened[i].perm_zeta)
+                    p_zn = _canon_ext(proof.opened[i].perm_zeta_next)
+                    a3, gidx = _acc_cols(prow, p_z, gammas, gidx)
+                    a4, gidx = _acc_cols(prow, p_zn, gammas, gidx)
+                    term = ext_np.add(
+                        term,
+                        ext_np.add(
+                            ext_np.mul(a3, inv_xz), ext_np.mul(a4, inv_xzg)
+                        ),
+                    )
+                a5, gidx = _acc_cols(qrow, q_z, gammas, gidx)
+                term = ext_np.add(term, ext_np.mul(a5, inv_xz))
                 total = ext_np.add(total, term)
             return np.array(total, dtype=np.uint64)
 
