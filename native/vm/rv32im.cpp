@@ -1,0 +1,362 @@
+// rv32im.cpp — RV32IM interpreter with execution-record emission.
+//
+// TPU-native replacement for the reference's VM executor layer (openvm-circuit
+// RISC-V executor + metered execution, used at
+// /root/reference/crates/prover/src/utils/vm.rs:13-48). Execution and trace
+// generation are host-side by design (SURVEY.md §2.2: "trace gen is
+// sequential & branchy — not a TPU kernel"); this library executes guest
+// programs and emits flat per-cycle records that the Python side converts
+// into AIR trace matrices for TPU proving.
+//
+// Exposed as a C API consumed via ctypes (no pybind11 in the image).
+//
+// Machine model:
+//   - RV32IM (no CSR/fence/ecall beyond the syscalls below)
+//   - byte-addressable little-endian memory, sparse 4 KiB pages
+//   - syscalls via ECALL, a7 selects:
+//       0 = HALT (a0 = exit code)
+//       1 = HINT_READ: read next hint byte stream word into a0 (from the
+//           host-provided hint buffer; the openvm hint-stream analog)
+//       2 = REVEAL: append a0 to the public-values buffer
+//   - segmentation: execution stops after `max_cycles` with state
+//     PAUSED so the host can snapshot boundary state (continuations).
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t PAGE_BITS = 12;
+constexpr uint32_t PAGE_SIZE = 1u << PAGE_BITS;
+
+struct ExecRecord {
+  uint32_t pc;
+  uint32_t instr;
+  uint32_t rs1_val;
+  uint32_t rs2_val;
+  uint32_t rd_val;   // value written to rd (0 if none)
+  uint32_t mem_addr; // effective address for loads/stores (else 0)
+  uint32_t mem_val;  // value loaded/stored (else 0)
+};
+
+struct Machine {
+  uint32_t regs[32] = {0};
+  uint32_t pc = 0;
+  std::unordered_map<uint32_t, std::vector<uint8_t>> pages;
+  std::vector<ExecRecord> records;
+  std::vector<uint32_t> public_values;
+  std::vector<uint8_t> hints;
+  size_t hint_pos = 0;
+  uint64_t cycles = 0;
+  int state = 0; // 0 running, 1 halted, 2 paused, 3 trapped
+  uint32_t exit_code = 0;
+  bool record_trace = true;
+
+  uint8_t *page(uint32_t addr) {
+    auto &p = pages[addr >> PAGE_BITS];
+    if (p.empty()) p.resize(PAGE_SIZE, 0);
+    return p.data();
+  }
+  uint8_t load8(uint32_t a) { return page(a)[a & (PAGE_SIZE - 1)]; }
+  void store8(uint32_t a, uint8_t v) { page(a)[a & (PAGE_SIZE - 1)] = v; }
+  uint32_t load32(uint32_t a) {
+    if ((a & (PAGE_SIZE - 1)) <= PAGE_SIZE - 4) {
+      uint8_t *p = page(a);
+      uint32_t off = a & (PAGE_SIZE - 1);
+      uint32_t v;
+      std::memcpy(&v, p + off, 4);
+      return v;
+    }
+    return load8(a) | (load8(a + 1) << 8) | (load8(a + 2) << 16) |
+           ((uint32_t)load8(a + 3) << 24);
+  }
+  uint16_t load16(uint32_t a) {
+    return load8(a) | ((uint16_t)load8(a + 1) << 8);
+  }
+  void store32(uint32_t a, uint32_t v) {
+    for (int i = 0; i < 4; i++) store8(a + i, (v >> (8 * i)) & 0xff);
+  }
+  void store16(uint32_t a, uint16_t v) {
+    store8(a, v & 0xff);
+    store8(a + 1, v >> 8);
+  }
+};
+
+inline int32_t sext(uint32_t v, int bits) {
+  int shift = 32 - bits;
+  return ((int32_t)(v << shift)) >> shift;
+}
+
+// Execute one instruction; returns false if execution should stop.
+bool step(Machine &m) {
+  uint32_t instr = m.load32(m.pc);
+  uint32_t opcode = instr & 0x7f;
+  uint32_t rd = (instr >> 7) & 0x1f;
+  uint32_t funct3 = (instr >> 12) & 0x7;
+  uint32_t rs1 = (instr >> 15) & 0x1f;
+  uint32_t rs2 = (instr >> 20) & 0x1f;
+  uint32_t funct7 = (instr >> 25) & 0x7f;
+
+  uint32_t a = m.regs[rs1];
+  uint32_t b = m.regs[rs2];
+  uint32_t next_pc = m.pc + 4;
+  uint32_t rd_val = 0;
+  bool write_rd = false;
+  uint32_t mem_addr = 0, mem_val = 0;
+
+  switch (opcode) {
+    case 0x37: // LUI
+      rd_val = instr & 0xfffff000u;
+      write_rd = true;
+      break;
+    case 0x17: // AUIPC
+      rd_val = m.pc + (instr & 0xfffff000u);
+      write_rd = true;
+      break;
+    case 0x6f: { // JAL
+      int32_t imm = (int32_t)(((instr >> 31) << 20) |
+                              (((instr >> 12) & 0xff) << 12) |
+                              (((instr >> 20) & 1) << 11) |
+                              (((instr >> 21) & 0x3ff) << 1));
+      imm = sext((uint32_t)imm, 21);
+      rd_val = next_pc;
+      write_rd = true;
+      next_pc = m.pc + imm;
+      break;
+    }
+    case 0x67: { // JALR
+      int32_t imm = sext(instr >> 20, 12);
+      rd_val = next_pc;
+      write_rd = true;
+      next_pc = (a + imm) & ~1u;
+      break;
+    }
+    case 0x63: { // branches
+      int32_t imm = (int32_t)(((instr >> 31) << 12) |
+                              (((instr >> 7) & 1) << 11) |
+                              (((instr >> 25) & 0x3f) << 5) |
+                              (((instr >> 8) & 0xf) << 1));
+      imm = sext((uint32_t)imm, 13);
+      bool take = false;
+      switch (funct3) {
+        case 0: take = a == b; break;
+        case 1: take = a != b; break;
+        case 4: take = (int32_t)a < (int32_t)b; break;
+        case 5: take = (int32_t)a >= (int32_t)b; break;
+        case 6: take = a < b; break;
+        case 7: take = a >= b; break;
+        default: m.state = 3; return false;
+      }
+      if (take) next_pc = m.pc + imm;
+      break;
+    }
+    case 0x03: { // loads
+      int32_t imm = sext(instr >> 20, 12);
+      mem_addr = a + imm;
+      switch (funct3) {
+        case 0: mem_val = (uint32_t)(int32_t)(int8_t)m.load8(mem_addr); break;
+        case 1: mem_val = (uint32_t)(int32_t)(int16_t)m.load16(mem_addr); break;
+        case 2: mem_val = m.load32(mem_addr); break;
+        case 4: mem_val = m.load8(mem_addr); break;
+        case 5: mem_val = m.load16(mem_addr); break;
+        default: m.state = 3; return false;
+      }
+      rd_val = mem_val;
+      write_rd = true;
+      break;
+    }
+    case 0x23: { // stores
+      int32_t imm = sext(((instr >> 25) << 5) | ((instr >> 7) & 0x1f), 12);
+      mem_addr = a + imm;
+      mem_val = b;
+      switch (funct3) {
+        case 0: m.store8(mem_addr, b & 0xff); break;
+        case 1: m.store16(mem_addr, b & 0xffff); break;
+        case 2: m.store32(mem_addr, b); break;
+        default: m.state = 3; return false;
+      }
+      break;
+    }
+    case 0x13: { // OP-IMM
+      int32_t imm = sext(instr >> 20, 12);
+      uint32_t shamt = (instr >> 20) & 0x1f;
+      switch (funct3) {
+        case 0: rd_val = a + imm; break;
+        case 2: rd_val = (int32_t)a < imm; break;
+        case 3: rd_val = a < (uint32_t)imm; break;
+        case 4: rd_val = a ^ imm; break;
+        case 6: rd_val = a | imm; break;
+        case 7: rd_val = a & imm; break;
+        case 1: rd_val = a << shamt; break;
+        case 5:
+          rd_val = (funct7 & 0x20) ? (uint32_t)((int32_t)a >> shamt)
+                                   : (a >> shamt);
+          break;
+        default: m.state = 3; return false;
+      }
+      write_rd = true;
+      break;
+    }
+    case 0x33: { // OP
+      if (funct7 == 1) { // RV32M
+        switch (funct3) {
+          case 0: rd_val = a * b; break;
+          case 1: rd_val = (uint32_t)(((int64_t)(int32_t)a * (int64_t)(int32_t)b) >> 32); break;
+          case 2: rd_val = (uint32_t)(((int64_t)(int32_t)a * (uint64_t)b) >> 32); break;
+          case 3: rd_val = (uint32_t)(((uint64_t)a * (uint64_t)b) >> 32); break;
+          case 4: // DIV
+            rd_val = b == 0 ? 0xffffffffu
+                     : (a == 0x80000000u && b == 0xffffffffu)
+                         ? 0x80000000u
+                         : (uint32_t)((int32_t)a / (int32_t)b);
+            break;
+          case 5: rd_val = b == 0 ? 0xffffffffu : a / b; break;
+          case 6: // REM
+            rd_val = b == 0 ? a
+                     : (a == 0x80000000u && b == 0xffffffffu)
+                         ? 0
+                         : (uint32_t)((int32_t)a % (int32_t)b);
+            break;
+          case 7: rd_val = b == 0 ? a : a % b; break;
+        }
+      } else {
+        switch (funct3) {
+          case 0: rd_val = (funct7 & 0x20) ? a - b : a + b; break;
+          case 1: rd_val = a << (b & 0x1f); break;
+          case 2: rd_val = (int32_t)a < (int32_t)b; break;
+          case 3: rd_val = a < b; break;
+          case 4: rd_val = a ^ b; break;
+          case 5:
+            rd_val = (funct7 & 0x20) ? (uint32_t)((int32_t)a >> (b & 0x1f))
+                                     : (a >> (b & 0x1f));
+            break;
+          case 6: rd_val = a | b; break;
+          case 7: rd_val = a & b; break;
+        }
+      }
+      write_rd = true;
+      break;
+    }
+    case 0x73: { // ECALL — syscalls
+      uint32_t a7 = m.regs[17];
+      uint32_t a0 = m.regs[10];
+      if (a7 == 0) { // HALT
+        m.state = 1;
+        m.exit_code = a0;
+      } else if (a7 == 1) { // HINT_READ word
+        uint32_t v = 0;
+        for (int i = 0; i < 4 && m.hint_pos < m.hints.size(); i++)
+          v |= ((uint32_t)m.hints[m.hint_pos++]) << (8 * i);
+        rd_val = v;
+        rd = 10; // write into a0
+        write_rd = true;
+      } else if (a7 == 2) { // REVEAL
+        m.public_values.push_back(a0);
+      } else {
+        m.state = 3;
+        return false;
+      }
+      break;
+    }
+    case 0x0f: // FENCE — nop
+      break;
+    default:
+      m.state = 3;
+      return false;
+  }
+
+  if (write_rd && rd != 0) m.regs[rd] = rd_val;
+
+  if (m.record_trace) {
+    ExecRecord r;
+    r.pc = m.pc;
+    r.instr = instr;
+    r.rs1_val = a;
+    r.rs2_val = b;
+    r.rd_val = (write_rd && rd != 0) ? rd_val : 0;
+    r.mem_addr = mem_addr;
+    r.mem_val = mem_val;
+    m.records.push_back(r);
+  }
+
+  m.pc = next_pc;
+  m.cycles++;
+  return m.state == 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+Machine *vm_create() { return new Machine(); }
+void vm_destroy(Machine *m) { delete m; }
+
+void vm_set_record_trace(Machine *m, int on) { m->record_trace = on != 0; }
+
+void vm_load_program(Machine *m, uint32_t addr, const uint8_t *data,
+                     uint64_t len) {
+  for (uint64_t i = 0; i < len; i++) m->store8(addr + (uint32_t)i, data[i]);
+}
+
+void vm_set_pc(Machine *m, uint32_t pc) { m->pc = pc; }
+void vm_set_reg(Machine *m, uint32_t idx, uint32_t val) {
+  if (idx > 0 && idx < 32) m->regs[idx] = val;
+}
+uint32_t vm_get_reg(Machine *m, uint32_t idx) {
+  return idx < 32 ? m->regs[idx] : 0;
+}
+uint32_t vm_get_pc(Machine *m) { return m->pc; }
+
+void vm_set_hints(Machine *m, const uint8_t *data, uint64_t len) {
+  m->hints.assign(data, data + len);
+  m->hint_pos = 0;
+}
+
+// Run until halt/trap or cycle budget; returns state
+// (0 running/paused-at-budget, 1 halted, 3 trapped).
+int vm_run(Machine *m, uint64_t max_cycles) {
+  uint64_t start = m->cycles;
+  while (m->state == 0 && (m->cycles - start) < max_cycles) {
+    if (!step(*m)) break;
+  }
+  if (m->state == 0) m->state = 2;  // paused (segment boundary)
+  int s = m->state;
+  if (s == 2) m->state = 0;  // resumable
+  return s;
+}
+
+uint64_t vm_cycles(const Machine *m) { return m->cycles; }
+uint32_t vm_exit_code(const Machine *m) { return m->exit_code; }
+
+uint64_t vm_num_records(const Machine *m) { return m->records.size(); }
+// Copy records as a flat uint32 array [n][7].
+void vm_copy_records(const Machine *m, uint32_t *out) {
+  for (size_t i = 0; i < m->records.size(); i++) {
+    const ExecRecord &r = m->records[i];
+    out[i * 7 + 0] = r.pc;
+    out[i * 7 + 1] = r.instr;
+    out[i * 7 + 2] = r.rs1_val;
+    out[i * 7 + 3] = r.rs2_val;
+    out[i * 7 + 4] = r.rd_val;
+    out[i * 7 + 5] = r.mem_addr;
+    out[i * 7 + 6] = r.mem_val;
+  }
+}
+void vm_clear_records(Machine *m) { m->records.clear(); }
+
+uint64_t vm_num_public_values(const Machine *m) {
+  return m->public_values.size();
+}
+void vm_copy_public_values(const Machine *m, uint32_t *out) {
+  for (size_t i = 0; i < m->public_values.size(); i++)
+    out[i] = m->public_values[i];
+}
+
+uint32_t vm_load_mem32(Machine *m, uint32_t addr) { return m->load32(addr); }
+void vm_store_mem32(Machine *m, uint32_t addr, uint32_t val) {
+  m->store32(addr, val);
+}
+
+}  // extern "C"

@@ -1,0 +1,106 @@
+"""End-to-end: native RV32 execution proven by the multi-AIR machine —
+CPU chip + program ROM + register memory argument + byte range table,
+all glued by logUp buses."""
+
+import numpy as np
+import pytest
+
+from zkvm_prover_tpu.models import rv32_v0
+from zkvm_prover_tpu.stark import machine
+from zkvm_prover_tpu.stark.config import fast_test_config
+from zkvm_prover_tpu.vm import asm
+from zkvm_prover_tpu.vm.executor import HALTED
+
+
+def straightline_program():
+    # computes ((5 + 7) - 3) + 100 into t3 via chained arithmetic
+    return asm.assemble(
+        [
+            asm.addi("t0", "zero", 5),
+            asm.addi("t1", "zero", 7),
+            asm.add("t2", "t0", "t1"),
+            asm.addi("t3", "t2", -3),
+            asm.addi("t4", "t3", 100),
+            asm.add("t5", "t4", "t4"),
+            asm.sub("t6", "t5", "t0"),
+            asm.halt(0),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def proven_execution():
+    prog = straightline_program()
+    ex, state, air_traces = rv32_v0.execute_and_trace(prog)
+    assert state == HALTED
+    airs = [a for a, _ in air_traces]
+    instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
+    cfg = fast_test_config()
+    proof = machine.prove_machine(instances, cfg)
+    return ex, airs, proof, cfg, prog
+
+
+def test_execution_matches_semantics(proven_execution):
+    ex, *_ = proven_execution
+    assert ex.get_reg(asm.REGS["t6"]) == ((5 + 7 - 3 + 100) * 2 - 5)
+
+
+def test_rv32_proof_verifies(proven_execution):
+    _, airs, proof, cfg, _ = proven_execution
+    assert machine.verify_machine(airs, proof, cfg)
+
+
+def test_rv32_reject_tampered_register_value():
+    """Forge a trace claiming a wrong ADD result — memory argument +
+    constraints must catch it."""
+    prog = straightline_program()
+    ex, state, air_traces = rv32_v0.execute_and_trace(prog)
+    cpu_air, cpu = air_traces[0]
+    cpu = cpu.copy()
+    C = rv32_v0.CpuAirV0
+    # row 2 is the add t2,t0,t1: bump the result limb and its carry story
+    cpu[2, C.RD_VAL] = (int(cpu[2, C.RD_VAL]) + 1) % 256
+    air_traces = [(cpu_air, cpu)] + air_traces[1:]
+    airs = [a for a, _ in air_traces]
+    instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
+    cfg = fast_test_config()
+    proof = machine.prove_machine(instances, cfg)
+    assert not machine.verify_machine(airs, proof, cfg)
+
+
+def test_rv32_reject_wrong_program():
+    """Prove with a trace from one program but commit a different ROM."""
+    prog = straightline_program()
+    ex, state, air_traces = rv32_v0.execute_and_trace(prog)
+    prog_air, ptrace = air_traces[1]
+    ptrace = ptrace.copy()
+    P_ = rv32_v0.ProgramAir
+    ptrace[0, P_.IMM] = 6  # claim the first addi loads 6 instead of 5
+    air_traces = [air_traces[0], (prog_air, ptrace)] + air_traces[2:]
+    airs = [a for a, _ in air_traces]
+    instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
+    cfg = fast_test_config()
+    proof = machine.prove_machine(instances, cfg)
+    assert not machine.verify_machine(airs, proof, cfg)
+
+
+def test_wraparound_arithmetic_proof():
+    """u32 overflow semantics (carry chains) survive the proof."""
+    prog = asm.assemble(
+        [
+            asm.addi("t0", "zero", -1),      # 0xffffffff
+            asm.addi("t1", "t0", 1),         # wraps to 0
+            asm.add("t2", "t0", "t0"),       # 0xfffffffe
+            asm.sub("t3", "t1", "t0"),       # 0 - (-1) = 1
+            asm.halt(0),
+        ]
+    )
+    ex, state, air_traces = rv32_v0.execute_and_trace(prog)
+    assert ex.get_reg(asm.REGS["t1"]) == 0
+    assert ex.get_reg(asm.REGS["t2"]) == 0xFFFFFFFE
+    assert ex.get_reg(asm.REGS["t3"]) == 1
+    airs = [a for a, _ in air_traces]
+    instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
+    cfg = fast_test_config()
+    proof = machine.prove_machine(instances, cfg)
+    assert machine.verify_machine(airs, proof, cfg)
