@@ -90,26 +90,28 @@ def _shift_for(log_m: int, log_max: int, g: int) -> int:
 
 def _fold_mixed_ext(constraints: List, alpha) -> jnp.ndarray:
     """C = sum_i alpha^i * c_i over mixed base (m,) / ext (m, 4) constraints.
-    Returns (m, 4)."""
-    apows = ext4.powers(alpha, len(constraints))
+    Returns (m, 4). alpha is concrete; the power ladder is host-computed."""
+    apows = _ext_powers_host(alpha, len(constraints))
     acc = None
     for i, c in enumerate(constraints):
         c = jnp.asarray(c, dtype=jnp.uint32)
+        ap = jnp.asarray(apows[i])
         if c.ndim == 1:
-            term = bb.mul(c[:, None], apows[i][None, :])
+            term = bb.mul(c[:, None], ap[None, :])
         else:
-            term = ext4.mul(c, jnp.broadcast_to(apows[i], c.shape))
+            term = ext4.mul(c, jnp.broadcast_to(ap, c.shape))
         acc = term if acc is None else bb.add(acc, term)
     return acc
 
 
 def _deep_terms(lde_mats: List[jnp.ndarray], opened_list, x_monty, points,
-                gamma, gamma_base: int):
+                gamma_powers, gamma_base: int):
     """Batch-opening combination for one AIR on its LDE domain.
 
     lde_mats: matrices (m, w_i); opened_list: matching (w_i, 4) openings;
-    points: matching (4,) opening points. Returns (m, 4) and the next gamma
-    index. Terms are grouped per (matrix, point) pair in order.
+    points: matching (4,) opening points; gamma_powers: (N, 4) precomputed
+    power ladder (host-computed once per proof — avoids one scan compile per
+    distinct ladder length). Returns (m, 4) and the next gamma index.
     """
     m = lde_mats[0].shape[0]
     x_ext = ext4.from_base(jnp.asarray(x_monty))
@@ -118,7 +120,7 @@ def _deep_terms(lde_mats: List[jnp.ndarray], opened_list, x_monty, points,
     for mat, opened, pt in zip(lde_mats, opened_list, points):
         w = mat.shape[1]
         inv_x = ext4.inv(ext4.sub(x_ext, pt[None, :]))
-        gammas = ext4.powers(gamma, gidx + w)[gidx:]
+        gammas = jnp.asarray(gamma_powers[gidx : gidx + w])
         diff = ext4.from_base(mat)  # (m, w, 4)
         diff = bb.sub(diff, jnp.broadcast_to(opened[None, :, :], diff.shape))
         weighted = ext4.mul(
@@ -128,6 +130,21 @@ def _deep_terms(lde_mats: List[jnp.ndarray], opened_list, x_monty, points,
         acc = bb.add(acc, ext4.mul(summed, inv_x))
         gidx += w
     return acc, gidx
+
+
+def _ext_powers_host(x_monty_4, n: int) -> np.ndarray:
+    """Host-side ext power ladder [1, x, ..., x^(n-1)] (n, 4) Montgomery."""
+    from ..utils import ext_np
+    from .verifier import _canon_ext
+
+    x_c = _canon_ext(np.asarray(x_monty_4))
+    out = np.zeros((n, 4), dtype=np.uint32)
+    acc = ext_np.from_base(1)
+    for i in range(n):
+        for j in range(4):
+            out[i, j] = bb.to_monty_int(int(acc[j]))
+        acc = ext_np.mul(acc, x_c)
+    return out
 
 
 def _extract_interactions(air: Air, trace_m, pvs_m):
@@ -307,6 +324,12 @@ def prove_machine(
     gamma = ch.sample_ext()
 
     # ---- phase 5: per-height DEEP codewords + FRI ------------------------
+    n_terms = sum(
+        2 * w + 4 * N_CHUNKS
+        + (2 * (4 * len(inters_per_air[i]) + 4) if inters_per_air[i] else 0)
+        for i, (_, w, _) in enumerate(metas)
+    )
+    gamma_powers = _ext_powers_host(gamma, max(n_terms, 1))
     gamma_base = 0
     codewords: Dict[int, jnp.ndarray] = {}
     for i, ((log_n, w, _), lm) in enumerate(zip(metas, log_ms)):
@@ -331,7 +354,7 @@ def prove_machine(
         opens.append(jnp.asarray(opened[i].quotient))
         points.append(zeta)
         deep, gamma_base = _deep_terms(
-            mats, opens, sels["x"], points, gamma, gamma_base
+            mats, opens, sels["x"], points, gamma_powers, gamma_base
         )
         codewords[lm] = (
             bb.add(codewords[lm], deep) if lm in codewords else deep
