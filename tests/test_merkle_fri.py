@@ -1,0 +1,137 @@
+"""Dedicated Merkle (MMCS) and FRI unit tests (the e2e tests cover them
+indirectly; these pin the component behavior)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zkvm_prover_tpu.fields import babybear as bb
+from zkvm_prover_tpu.fields import ext4
+from zkvm_prover_tpu.ops import ntt
+from zkvm_prover_tpu.stark import fri, merkle
+from zkvm_prover_tpu.stark.challenger import Challenger
+from zkvm_prover_tpu.stark.fri import FriConfig
+
+RNG = np.random.default_rng(11)
+
+
+def rand_m(h, w):
+    return bb.to_monty(
+        jnp.asarray(RNG.integers(0, bb.P, size=(h, w), dtype=np.uint64).astype(np.uint32))
+    )
+
+
+def test_merkle_single_matrix_roundtrip():
+    m = rand_m(16, 3)
+    tree = merkle.commit([m])
+    for idx in (0, 7, 15):
+        op = merkle.open_index(tree, idx)
+        assert merkle.verify_opening(tree.root_np(), op, [16])
+    # tampered row fails
+    op = merkle.open_index(tree, 3)
+    op.rows[0] = op.rows[0].copy()
+    op.rows[0][0] ^= 1
+    assert not merkle.verify_opening(tree.root_np(), op, [16])
+
+
+def test_merkle_mixed_heights():
+    m1 = rand_m(16, 2)
+    m2 = rand_m(4, 5)
+    m3 = rand_m(16, 1)
+    tree = merkle.commit([m1, m2, m3])
+    op = merkle.open_index(tree, 13)
+    assert len(op.rows) == 3
+    assert merkle.verify_opening(tree.root_np(), op, [16, 4, 16])
+    # wrong sibling fails
+    op.siblings[1] = op.siblings[1].copy()
+    op.siblings[1][2] ^= 1
+    assert not merkle.verify_opening(tree.root_np(), op, [16, 4, 16])
+
+
+def _low_degree_codeword(log_m, degree_bound):
+    """Evals of a random poly with degree < degree_bound on the g*G_m coset,
+    as an ext codeword."""
+    m = 1 << log_m
+    coeffs = np.zeros((m, 4), dtype=np.uint32)
+    vals = RNG.integers(0, bb.P, size=(degree_bound, 4), dtype=np.uint64)
+    coeffs[:degree_bound] = vals.astype(np.uint32)
+    cm = bb.to_monty(jnp.asarray(coeffs))
+    # natural-order coeffs -> bitrev -> evals on coset
+    rev = ntt._bitrev_perm(log_m)
+    c_rev = cm[jnp.asarray(rev)]  # position i holds coeff bitrev(i)
+    return ntt._dit(
+        bb.mul(c_rev, ntt._powers_bitrev_monty(bb.GENERATOR, log_m).reshape(m, 1)),
+        log_m,
+        inverse=False,
+    )
+
+
+def test_fri_accepts_low_degree():
+    log_m = 6
+    cfg = FriConfig(log_blowup=1, num_queries=6, proof_of_work_bits=2)
+    cw = _low_degree_codeword(log_m, 1 << (log_m - 1))
+    ch = Challenger()
+    proof = fri.prove(cw, log_m, bb.GENERATOR, cfg, ch)
+    ch2 = Challenger()
+    assert fri.verify(proof, log_m, bb.GENERATOR, cfg, ch2, None)
+
+
+def test_fri_rejects_high_degree():
+    """A random codeword (degree ~m) should fail the low-degree test."""
+    log_m = 6
+    cfg = FriConfig(log_blowup=1, num_queries=6, proof_of_work_bits=2)
+    m = 1 << log_m
+    cw = bb.to_monty(
+        jnp.asarray(RNG.integers(0, bb.P, size=(m, 4), dtype=np.uint64).astype(np.uint32))
+    )
+    ch = Challenger()
+    proof = fri.prove(cw, log_m, bb.GENERATOR, cfg, ch)
+    ch2 = Challenger()
+    assert not fri.verify(proof, log_m, bb.GENERATOR, cfg, ch2, None)
+
+
+def test_fri_transcript_binding():
+    log_m = 6
+    cfg = FriConfig(log_blowup=1, num_queries=6, proof_of_work_bits=2)
+    cw = _low_degree_codeword(log_m, 1 << (log_m - 1))
+    ch = Challenger()
+    proof = fri.prove(cw, log_m, bb.GENERATOR, cfg, ch)
+    # verifier with a different transcript prefix must reject
+    ch3 = Challenger()
+    ch3.observe_canonical_u32(99)
+    assert not fri.verify(proof, log_m, bb.GENERATOR, cfg, ch3, None)
+
+
+def test_challenger_determinism_and_divergence():
+    a, b = Challenger(), Challenger()
+    for v in (3, 1, 4, 1, 5):
+        a.observe_canonical_u32(v)
+        b.observe_canonical_u32(v)
+    assert a.sample_ext().tolist() == b.sample_ext().tolist()
+    c = Challenger()
+    c.observe_canonical_u32(3)
+    c.observe_canonical_u32(2)
+    for v in (4, 1, 5):
+        c.observe_canonical_u32(v)
+    assert a.sample_ext().tolist() != c.sample_ext().tolist()
+
+
+def test_pow_grind_and_check():
+    ch = Challenger()
+    ch.observe_canonical_u32(7)
+    witness = ch.clone().grind(6)
+    ch2 = Challenger()
+    ch2.observe_canonical_u32(7)
+    assert ch2.check_witness(6, witness)
+    ch3 = Challenger()
+    ch3.observe_canonical_u32(7)
+    # with ~2^-6 chance witness+1 also passes; pick a definite non-witness
+    bad = witness + 1
+    ch4 = Challenger()
+    ch4.observe_canonical_u32(7)
+    if ch4.clone().check_witness(6, bad):
+        bad = witness + 2  # extremely unlikely both pass
+        ch4 = Challenger()
+        ch4.observe_canonical_u32(7)
+    # no assertion on bad beyond consistency of the API
+    assert isinstance(witness, int)

@@ -116,6 +116,22 @@ def test_hash_rows_and_compress():
     assert (np.asarray(c) != np.asarray(c2)).any()
 
 
+def test_permute_np_bit_identical():
+    """Host numpy permutation must match the device permutation exactly —
+    the challenger and Merkle verification depend on it."""
+    for width in (16, 24):
+        x = RNG.integers(0, P, size=(7, width), dtype=np.uint64).astype(np.uint32)
+        xm = np.asarray(bb.to_monty(jnp.asarray(x)))
+        dev = np.asarray(p2.permute(jnp.asarray(xm)))
+        host = p2.permute_np(xm)
+        np.testing.assert_array_equal(dev, host)
+    m = RNG.integers(0, P, size=(5, 11), dtype=np.uint64).astype(np.uint32)
+    mm = np.asarray(bb.to_monty(jnp.asarray(m)))
+    np.testing.assert_array_equal(
+        np.asarray(p2.hash_rows(jnp.asarray(mm))), p2.hash_rows_np(mm)
+    )
+
+
 def test_golden_stability():
     """Pin a golden digest so accidental constant/structure drift is caught."""
     m = bb.to_monty(jnp.asarray(np.arange(8, dtype=np.uint32).reshape(1, 8)))

@@ -69,19 +69,33 @@ def test_rv32_reject_tampered_register_value():
 
 
 def test_rv32_reject_wrong_program():
-    """Prove with a trace from one program but commit a different ROM."""
+    """The program ROM is preprocessed (verification-key material): a proof
+    generated for program A must not verify against a verifier expecting
+    program B."""
     prog = straightline_program()
     ex, state, air_traces = rv32_v0.execute_and_trace(prog)
-    prog_air, ptrace = air_traces[1]
-    ptrace = ptrace.copy()
-    P_ = rv32_v0.ProgramAir
-    ptrace[0, P_.IMM] = 6  # claim the first addi loads 6 instead of 5
-    air_traces = [air_traces[0], (prog_air, ptrace)] + air_traces[2:]
     airs = [a for a, _ in air_traces]
     instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
     cfg = fast_test_config()
     proof = machine.prove_machine(instances, cfg)
-    assert not machine.verify_machine(airs, proof, cfg)
+
+    other_prog = asm.assemble(
+        [
+            asm.addi("t0", "zero", 6),  # first addi loads 6 instead of 5
+            asm.addi("t1", "zero", 7),
+            asm.add("t2", "t0", "t1"),
+            asm.addi("t3", "t2", -3),
+            asm.addi("t4", "t3", 100),
+            asm.add("t5", "t4", "t4"),
+            asm.sub("t6", "t5", "t0"),
+            asm.halt(0),
+        ]
+    )
+    airs_b = list(airs)
+    airs_b[1] = rv32_v0.ProgramAir(other_prog)
+    assert not machine.verify_machine(airs_b, proof, cfg)
+    # sanity: the honest airs still accept
+    assert machine.verify_machine(airs, proof, cfg)
 
 
 def test_wraparound_arithmetic_proof():

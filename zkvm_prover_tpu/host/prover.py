@@ -86,6 +86,18 @@ class Prover:
                 f"task vk mismatch for app {self.app.name}"
             )
 
+        # verify aggregated child proofs before spending proving time — the
+        # host side of the reference's deferral data computation
+        # (crates/integration/src/lib.rs:461-514); the in-circuit deferred
+        # verification arrives with recursion (ROADMAP Phase 5)
+        from .verifier import UniversalVerifier
+
+        for child in task.aggregated_proofs:
+            if not UniversalVerifier.verify_stark_proof_with_vk(
+                child.baseline, child, self.config.stark
+            ):
+                raise ProverError("aggregated child proof failed verification")
+
         instances, pi_hash, exec_ms = self.execute_and_check(task)
         t0 = time.time()
         mproof = machine.prove_machine(instances, self.config.stark)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..stark import fri, machine, merkle
 
-CODEC_VERSION = 2
+CODEC_VERSION = 3
 
 
 def _enc_arr(a) -> dict:
@@ -87,6 +87,7 @@ def machine_proof_to_dict(p: machine.MachineProof) -> dict:
             str(k): _enc_arr(v) for k, v in p.quotient_roots.items()
         },
         "perm_roots": {str(k): _enc_arr(v) for k, v in p.perm_roots.items()},
+        "pre_roots": {str(k): _enc_arr(v) for k, v in p.pre_roots.items()},
         "claimed_sums": [
             None if cs is None else _enc_arr(cs) for cs in p.claimed_sums
         ],
@@ -103,6 +104,14 @@ def machine_proof_to_dict(p: machine.MachineProof) -> dict:
                     if ov.perm_zeta_next is None
                     else _enc_arr(ov.perm_zeta_next)
                 ),
+                "pre_zeta": (
+                    None if ov.pre_zeta is None else _enc_arr(ov.pre_zeta)
+                ),
+                "pre_zeta_next": (
+                    None
+                    if ov.pre_zeta_next is None
+                    else _enc_arr(ov.pre_zeta_next)
+                ),
             }
             for ov in p.opened
         ],
@@ -113,6 +122,7 @@ def machine_proof_to_dict(p: machine.MachineProof) -> dict:
                     "trace": _enc_opening(qo.trace),
                     "quotient": _enc_opening(qo.quotient),
                     "perm": None if qo.perm is None else _enc_opening(qo.perm),
+                    "pre": None if qo.pre is None else _enc_opening(qo.pre),
                 }
                 for pos, qo in d.items()
             }
@@ -131,6 +141,9 @@ def machine_proof_from_dict(d) -> machine.MachineProof:
             int(k): _dec_arr(v) for k, v in d["quotient_roots"].items()
         },
         perm_roots={int(k): _dec_arr(v) for k, v in d["perm_roots"].items()},
+        pre_roots={
+            int(k): _dec_arr(v) for k, v in d.get("pre_roots", {}).items()
+        },
         claimed_sums=[
             None if cs is None else _dec_arr(cs) for cs in d["claimed_sums"]
         ],
@@ -149,6 +162,16 @@ def machine_proof_from_dict(d) -> machine.MachineProof:
                     if ov.get("perm_zeta_next") is None
                     else _dec_arr(ov["perm_zeta_next"])
                 ),
+                pre_zeta=(
+                    None
+                    if ov.get("pre_zeta") is None
+                    else _dec_arr(ov["pre_zeta"])
+                ),
+                pre_zeta_next=(
+                    None
+                    if ov.get("pre_zeta_next") is None
+                    else _dec_arr(ov["pre_zeta_next"])
+                ),
             )
             for ov in d["opened"]
         ],
@@ -162,6 +185,11 @@ def machine_proof_from_dict(d) -> machine.MachineProof:
                         None
                         if qo.get("perm") is None
                         else _dec_opening(qo["perm"])
+                    ),
+                    pre=(
+                        None
+                        if qo.get("pre") is None
+                        else _dec_opening(qo["pre"])
                     ),
                 )
                 for pos, qo in dd.items()

@@ -36,9 +36,18 @@ class Air:
 
     width: int = 0
     num_public_values: int = 0
+    preprocessed_width: int = 0
 
     def eval(self, b: "AirBuilder") -> None:
         raise NotImplementedError
+
+    def preprocessed_trace(self):
+        """Verifier-known fixed columns (e.g. a program ROM): canonical
+        uint32 (n, preprocessed_width) numpy array, or None. The machine
+        commits these separately; the verifier recomputes the commitment
+        from this method, so the content is bound into the verification
+        key rather than chosen by the prover."""
+        return None
 
     # trace generation is AIR-specific; host-side by design (SURVEY.md §2.2:
     # "trace gen is sequential & branchy — not a TPU kernel")
@@ -68,6 +77,12 @@ class AirBuilder:
         raise NotImplementedError
 
     def next(self, col: int):
+        raise NotImplementedError
+
+    def preprocessed(self, col: int):
+        raise NotImplementedError
+
+    def preprocessed_next(self, col: int):
         raise NotImplementedError
 
     def public_value(self, i: int):
@@ -158,10 +173,14 @@ class LdeBuilder(AirBuilder):
     (m,) arrays precomputed from the domain structure.
     """
 
-    def __init__(self, lde, blowup: int, sels, public_values):
+    def __init__(self, lde, blowup: int, sels, public_values, pre_lde=None):
         # lde: (m, w); next-row = roll by blowup in natural order
         self._lde = lde
         self._next = jnp.roll(lde, -blowup, axis=0)
+        self._pre = pre_lde
+        self._pre_next = (
+            None if pre_lde is None else jnp.roll(pre_lde, -blowup, axis=0)
+        )
         self._sels = sels  # dict: first, last, transition -> (m,) arrays
         self._pvs = public_values  # (n_pv,) Montgomery array
         self._constraints: List[Any] = []
@@ -172,6 +191,12 @@ class LdeBuilder(AirBuilder):
 
     def next(self, col):
         return self._next[:, col]
+
+    def preprocessed(self, col):
+        return self._pre[:, col]
+
+    def preprocessed_next(self, col):
+        return self._pre_next[:, col]
 
     def public_value(self, i):
         return self._pvs[i]
@@ -208,10 +233,13 @@ class LdeBuilder(AirBuilder):
 class PointBuilder(AirBuilder):
     """Extension-field evaluation at one out-of-domain point (verifier)."""
 
-    def __init__(self, local_ext, next_ext, sels_ext, public_values):
+    def __init__(self, local_ext, next_ext, sels_ext, public_values,
+                 pre_ext=None, pre_next_ext=None):
         # local_ext/next_ext: (w, 4) arrays; sels_ext: dict -> (4,) ext values
         self._local = local_ext
         self._next = next_ext
+        self._pre = pre_ext
+        self._pre_next = pre_next_ext
         self._sels = sels_ext
         self._pvs = public_values
         self._constraints: List[Any] = []
@@ -222,6 +250,12 @@ class PointBuilder(AirBuilder):
 
     def next(self, col):
         return self._next[col]
+
+    def preprocessed(self, col):
+        return self._pre[col]
+
+    def preprocessed_next(self, col):
+        return self._pre_next[col]
 
     def public_value(self, i):
         return ext4.from_base(jnp.asarray(self._pvs[i], dtype=jnp.uint32))
@@ -267,7 +301,7 @@ class TraceBuilder(LdeBuilder):
     interaction field/multiplicity vectors for logUp permutation-trace
     generation. Selectors are exact 0/1 indicator rows."""
 
-    def __init__(self, trace_m, public_values):
+    def __init__(self, trace_m, public_values, pre_m=None):
         n = int(trace_m.shape[0])
         first = np.zeros(n, dtype=np.uint32)
         first[0] = bb.ONE
@@ -280,4 +314,4 @@ class TraceBuilder(LdeBuilder):
             "last": jnp.asarray(last),
             "transition": jnp.asarray(transition),
         }
-        super().__init__(trace_m, 1, sels, public_values)
+        super().__init__(trace_m, 1, sels, public_values, pre_lde=pre_m)

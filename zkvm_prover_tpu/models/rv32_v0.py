@@ -221,31 +221,58 @@ class CpuAirV0(Air):
 
 
 class ProgramAir(Air):
-    """(pc, flags, rs1, rs2, rd, imm limbs, exec-count multiplicity)."""
+    """Program ROM chip: the decoded instruction table lives in
+    **preprocessed** (verifier-known) columns, so the executed program is
+    bound into the verification key; the only main-trace column is the
+    execution-count multiplicity.
 
+    Preprocessed columns: pc, flags, rs1, rs2, rd, imm limbs.
+    """
+
+    # preprocessed column indices
     PC = 0
     F_ADDI, F_ADD, F_SUB = 1, 2, 3
     RS1, RS2, RD = 4, 5, 6
     IMM = 7
-    MULT = 11
-    width = 12
+    preprocessed_width = 11
+    # main trace
+    MULT = 0
+    width = 1
     num_public_values = 0
+
+    def __init__(self, program_words=None):
+        self.program_words = list(program_words or [])
 
     def eval(self, b: AirBuilder) -> None:
         P_ = ProgramAir
-        pc = b.local(P_.PC)
-        b.when_first_row().assert_zero(pc)
-        b.when_transition().assert_eq(
-            b.next(P_.PC), b.add(pc, b.constant(4))
-        )
+        pc = b.preprocessed(P_.PC)
         b.push_receive(
             PROGRAM_BUS,
-            [pc] + [b.local(c) for c in (
+            [pc] + [b.preprocessed(c) for c in (
                 P_.F_ADDI, P_.F_ADD, P_.F_SUB, P_.RS1, P_.RS2, P_.RD,
                 P_.IMM, P_.IMM + 1, P_.IMM + 2, P_.IMM + 3,
             )],
             b.local(P_.MULT),
         )
+
+    def preprocessed_trace(self) -> np.ndarray:
+        words = self.program_words
+        n_prog = max(4, 1 << (max(len(words), 1) - 1).bit_length())
+        pre = np.zeros((n_prog, ProgramAir.preprocessed_width), dtype=np.uint32)
+        for j in range(n_prog):
+            pre[j, ProgramAir.PC] = 4 * j
+            if j < len(words):
+                try:
+                    kind, rs1, rs2, rd, imm = _decode_v0(words[j])
+                except ValueError:
+                    continue  # non-v0 instruction (e.g. the halt ecall tail)
+                pre[j, ProgramAir.F_ADDI + kind] = 1
+                pre[j, ProgramAir.RS1] = rs1
+                pre[j, ProgramAir.RS2] = rs2
+                pre[j, ProgramAir.RD] = rd
+                for k, v in enumerate(_limbs(imm)):
+                    pre[j, ProgramAir.IMM + k] = v
+        return pre
 
 
 class MemoryBoundaryAir(Air):
@@ -383,26 +410,15 @@ def generate_traces(program_words: List[int], records: np.ndarray):
         cpu[i, C.TS] = 3 * i + 1
         cpu[i, C.PC] = 0 if i == 0 else cpu[i - 1, C.PC]
 
-    # program trace
-    n_prog = max(4, 1 << (len(program_words) - 1).bit_length())
-    prog = np.zeros((n_prog, ProgramAir.width), dtype=np.uint32)
+    # program ROM: decoded table is preprocessed (verifier-known); the main
+    # trace carries only execution counts
+    program_air = ProgramAir(program_words)
+    n_prog = program_air.preprocessed_trace().shape[0]
     exec_counts = np.bincount(
         (records[:, 0] // 4).astype(np.int64), minlength=n_prog
     ) if n_cycles else np.zeros(n_prog, dtype=np.int64)
-    for j in range(n_prog):
-        prog[j, ProgramAir.PC] = 4 * j
-        if j < len(program_words):
-            try:
-                kind, rs1, rs2, rd, imm = _decode_v0(program_words[j])
-            except ValueError:
-                continue  # unreachable non-v0 instruction (e.g. halt tail)
-            prog[j, ProgramAir.F_ADDI + kind] = 1
-            prog[j, ProgramAir.RS1] = rs1
-            prog[j, ProgramAir.RS2] = rs2
-            prog[j, ProgramAir.RD] = rd
-            for k, v in enumerate(_limbs(imm)):
-                prog[j, ProgramAir.IMM + k] = v
-            prog[j, ProgramAir.MULT] = exec_counts[j]
+    prog = np.zeros((n_prog, ProgramAir.width), dtype=np.uint32)
+    prog[:, ProgramAir.MULT] = exec_counts[:n_prog].astype(np.uint32)
 
     # memory boundary trace
     mem = np.zeros((32, MemoryBoundaryAir.width), dtype=np.uint32)
@@ -419,7 +435,7 @@ def generate_traces(program_words: List[int], records: np.ndarray):
 
     return [
         (CpuAirV0(), cpu),
-        (ProgramAir(), prog),
+        (program_air, prog),
         (MemoryBoundaryAir(), mem),
         (ByteTableAir(), byte),
     ]

@@ -249,3 +249,103 @@ def compress(left, right):
     """
     state = jnp.concatenate([left, right], axis=-1)
     return permute(state)[..., :DIGEST]
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) permutation — bit-identical to `permute`, used by the
+# challenger and by Merkle path verification so the host side never pays
+# per-call device dispatch. uint64 intermediates keep every product exact.
+# ---------------------------------------------------------------------------
+
+_P64 = np.uint64(bb.P)
+_NP64 = np.uint64(bb.NP)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _mul_np(a, b):
+    t = a.astype(np.uint64) * b.astype(np.uint64)
+    m = ((t & _M32) * _NP64) & _M32
+    u = (t + m * _P64) >> np.uint64(32)
+    return np.where(u >= _P64, u - _P64, u)
+
+
+def _add_np(a, b):
+    s = a.astype(np.uint64) + b.astype(np.uint64)
+    return np.where(s >= _P64, s - _P64, s)
+
+
+def permute_np(state: np.ndarray) -> np.ndarray:
+    """Poseidon2 on (..., width) uint32 Montgomery numpy arrays."""
+    width = state.shape[-1]
+    ext_rc, int_rc, diag = _get_constants(width)
+    x = state.astype(np.uint64)
+
+    def sbox(v):
+        v2 = _mul_np(v, v)
+        v4 = _mul_np(v2, v2)
+        return _mul_np(_mul_np(v4, v2), v)
+
+    def m4(v):
+        s = v.shape
+        g = v.reshape(s[:-1] + (s[-1] // 4, 4))
+        a, b_, c, d = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
+        t01 = _add_np(a, b_)
+        t23 = _add_np(c, d)
+        t0123 = _add_np(t01, t23)
+        t01123 = _add_np(t0123, b_)
+        t01233 = _add_np(t0123, d)
+        out_d = _add_np(t01233, _add_np(a, a))
+        out_b = _add_np(t01123, _add_np(c, c))
+        out_a = _add_np(t01123, t01)
+        out_c = _add_np(t01233, t23)
+        return np.stack([out_a, out_b, out_c, out_d], axis=-1).reshape(s)
+
+    def ext_lin(v):
+        y = m4(v)
+        s = y.reshape(y.shape[:-1] + (width // 4, 4))
+        acc = s[..., 0, :]
+        for i in range(1, width // 4):
+            acc = _add_np(acc, s[..., i, :])
+        return _add_np(s, acc[..., None, :]).reshape(v.shape)
+
+    def int_lin(v):
+        acc = v[..., 0]
+        for i in range(1, width):
+            acc = _add_np(acc, v[..., i])
+        return _add_np(acc[..., None], _mul_np(np.asarray(diag, np.uint64), v))
+
+    half = ROUNDS_F // 2
+    x = ext_lin(x)
+    for r in range(half):
+        x = _add_np(x, np.asarray(ext_rc[r], np.uint64))
+        x = sbox(x)
+        x = ext_lin(x)
+    for r in range(int_rc.shape[0]):
+        x0 = sbox(_add_np(x[..., 0], np.uint64(int_rc[r])))
+        x = x.copy()
+        x[..., 0] = x0
+        x = int_lin(x)
+    for r in range(half, ROUNDS_F):
+        x = _add_np(x, np.asarray(ext_rc[r], np.uint64))
+        x = sbox(x)
+        x = ext_lin(x)
+    return x.astype(np.uint32)
+
+
+def hash_rows_np(matrix: np.ndarray) -> np.ndarray:
+    s, c = matrix.shape
+    n_blocks = max(1, -(-c // RATE))
+    pad = n_blocks * RATE - c
+    if pad:
+        matrix = np.concatenate(
+            [matrix, np.zeros((s, pad), dtype=np.uint32)], axis=1
+        )
+    state = np.zeros((s, WIDTH), dtype=np.uint32)
+    for b in range(n_blocks):
+        state[:, :RATE] = matrix[:, b * RATE : (b + 1) * RATE]
+        state = permute_np(state)
+    return state[:, :DIGEST]
+
+
+def compress_np(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    return permute_np(np.concatenate([left, right], axis=-1))[..., :DIGEST]

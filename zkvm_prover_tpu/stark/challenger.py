@@ -61,7 +61,7 @@ class Challenger:
         for i, v in enumerate(self.input_buffer):
             self.state[i] = v
         self.input_buffer.clear()
-        out = np.array(p2.permute(jnp.asarray(self.state[None, :]))[0])  # writable copy
+        out = p2.permute_np(self.state[None, :])[0]  # host permutation
         self.state = out
         self.output_buffer = [int(x) for x in out[:RATE]]
 
@@ -103,7 +103,7 @@ class Challenger:
             states[:, k] = np.asarray(
                 bb.to_monty(jnp.asarray(nonces))
             )
-            out = np.asarray(p2.permute(jnp.asarray(states)))
+            out = p2.permute_np(states)
             # sample() pops from the END of the first RATE outputs
             v = np.asarray(bb.from_monty(jnp.asarray(out[:, RATE - 1])))
             hit = np.nonzero((v & ((1 << bits) - 1)) == 0)[0]

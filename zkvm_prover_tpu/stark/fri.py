@@ -110,7 +110,12 @@ def prove(
     cw = codeword
     lm = log_m
     sh = shift_int % bb.P
-    while lm > config.log_final_poly_len:
+    # Fold until the DOMAIN reaches blowup << log_final_poly_len — the final
+    # codeword must keep its rate so the verifier can check it really is a
+    # degree < 2^log_final_poly_len polynomial (folding to a single point
+    # would make the final check vacuous).
+    log_final_domain = config.log_final_poly_len + config.log_blowup
+    while lm > log_final_domain:
         tree = merkle.commit([cw])
         commits.append(tree)
         roots.append(tree.root_np())
@@ -122,8 +127,8 @@ def prove(
         if lm in injected:
             cw = bb.add(cw, injected[lm])
 
-    # final polynomial: remaining codeword is (2^log_final_poly_len, 4) —
-    # constant when log_final_poly_len == 0; observe it.
+    # final codeword: (blowup << log_final_poly_len, 4) evaluations of the
+    # final low-degree polynomial; observe it.
     final_vals = np.asarray(cw)
     challenger.observe_slice(final_vals)
 
@@ -168,6 +173,11 @@ def _monty_row_to_canonical(row):
     return np.asarray(bb.from_monty(jnp.asarray(np.asarray(row, dtype=np.uint32))))
 
 
+def ext_np_add_scaled(acc, v, s: int):
+    """acc + v * s (base scalar), canonical python ints."""
+    return [(int(a) + int(x) * s) % bb.P for a, x in zip(acc, v)]
+
+
 def verify(
     proof: FriProof,
     log_m: int,
@@ -192,8 +202,13 @@ def verify(
         derived = {log_m: initial_values}
     else:
         derived = dict(initial_values)
-    n_rounds = log_m - config.log_final_poly_len
+    log_final_domain = config.log_final_poly_len + config.log_blowup
+    n_rounds = log_m - log_final_domain
     if len(proof.commitments) != n_rounds:
+        return False
+    if len(np.asarray(proof.final_poly).reshape(-1, 4)) != (
+        1 << log_final_domain
+    ):
         return False
     betas = []
     for root in proof.commitments:
@@ -210,6 +225,18 @@ def verify(
     final_canon = _monty_row_to_canonical(
         np.asarray(proof.final_poly).reshape(-1, 4)
     )
+
+    # final low-degree check: interpolate the final codeword over its domain
+    # and require coefficients of degree >= 2^log_final_poly_len to vanish
+    fd = 1 << log_final_domain
+    w_f = bb.two_adic_generator_int(log_final_domain)
+    for j in range(1 << config.log_final_poly_len, fd):
+        coeff = [0, 0, 0, 0]
+        for t in range(fd):
+            wjt = pow(w_f, (-j * t) % fd, bb.P)
+            coeff = ext_np_add_scaled(coeff, final_canon[t], wjt)
+        if any(int(c) % bb.P for c in coeff):
+            return False
 
     inv2 = pow(2, bb.P - 2, bb.P)
     for qi, q0 in enumerate(indices):
@@ -263,13 +290,7 @@ def verify(
             value = (g + _ext_mul_np(betas[r], h)) % bb.P
             q = qq
             sh = (sh * sh) % bb.P
-        # compare against final poly (constant for log_final_poly_len=0)
-        if config.log_final_poly_len == 0:
-            if not (value == final_canon[0].astype(np.uint64)).all():
-                return False
-        else:
-            # evaluate final poly at the query point (coefficient form NOT
-            # used in round 1: final codeword is sent in evaluation form)
-            if not (value == final_canon[q].astype(np.uint64)).all():
-                return False
+        # compare against the final codeword at the folded-down index
+        if not (value == final_canon[q].astype(np.uint64)).all():
+            return False
     return True

@@ -62,6 +62,8 @@ class OpenedValues:
     quotient: np.ndarray           # (N_CHUNKS*4, 4)
     perm_zeta: Optional[np.ndarray] = None       # (4k+4, 4)
     perm_zeta_next: Optional[np.ndarray] = None
+    pre_zeta: Optional[np.ndarray] = None        # (pw, 4)
+    pre_zeta_next: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -69,6 +71,7 @@ class QueryOpening:
     trace: merkle.Opening
     quotient: merkle.Opening
     perm: Optional[merkle.Opening] = None
+    pre: Optional[merkle.Opening] = None
 
 
 @dataclass
@@ -77,10 +80,15 @@ class MachineProof:
     trace_roots: Dict[int, np.ndarray]       # log_m -> (8,)
     quotient_roots: Dict[int, np.ndarray]
     perm_roots: Dict[int, np.ndarray]        # heights with interactions only
-    claimed_sums: List[Optional[np.ndarray]] # per AIR, (4,) Montgomery
-    opened: List[OpenedValues]
-    fri_proof: fri.FriProof
-    query_openings: Dict[int, Dict[int, QueryOpening]]
+    # heights with preprocessed columns only; the verifier RECOMPUTES these
+    # from the Air definitions (verification-key material)
+    pre_roots: Dict[int, np.ndarray] = field(default_factory=dict)
+    claimed_sums: List[Optional[np.ndarray]] = field(default_factory=list)
+    opened: List[OpenedValues] = field(default_factory=list)
+    fri_proof: fri.FriProof = None
+    query_openings: Dict[int, Dict[int, QueryOpening]] = field(
+        default_factory=dict
+    )
     stat: Dict[str, float] = field(default_factory=dict)
 
 
@@ -147,8 +155,8 @@ def _ext_powers_host(x_monty_4, n: int) -> np.ndarray:
     return out
 
 
-def _extract_interactions(air: Air, trace_m, pvs_m):
-    tb = TraceBuilder(trace_m, pvs_m)
+def _extract_interactions(air: Air, trace_m, pvs_m, pre_m=None):
+    tb = TraceBuilder(trace_m, pvs_m, pre_m=pre_m)
     air.eval(tb)
     return tb.interactions
 
@@ -196,6 +204,38 @@ def prove_machine(
         for (_, _, pvs) in metas
     ]
 
+    # ---- phase 0: preprocessed (verifier-known) columns -------------------
+    pre_ms: List[Optional[jnp.ndarray]] = []
+    pre_ldes: List[Optional[jnp.ndarray]] = []
+    pre_crevs: List[Optional[jnp.ndarray]] = []
+    for inst, (log_n, _, _), lm in zip(instances, metas, log_ms):
+        pre_np = inst.air.preprocessed_trace()
+        if pre_np is None:
+            pre_ms.append(None)
+            pre_ldes.append(None)
+            pre_crevs.append(None)
+            continue
+        assert pre_np.shape[0] == (1 << log_n), (
+            "preprocessed height must equal trace height"
+        )
+        shift = _shift_for(lm, log_max, g)
+        pm = bb.to_monty(jnp.asarray(np.asarray(pre_np, dtype=np.uint32)))
+        cr = ntt.interpolate_coset_rev(pm, 1)
+        pre_ms.append(pm)
+        pre_crevs.append(cr)
+        pre_ldes.append(ntt.eval_coset_from_rev(cr, log_blowup, shift))
+
+    pre_trees: Dict[int, merkle.MerkleTree] = {}
+    for lm in heights:
+        mats = [
+            pre_ldes[i]
+            for i in range(len(instances))
+            if log_ms[i] == lm and pre_ldes[i] is not None
+        ]
+        if mats:
+            pre_trees[lm] = merkle.commit(mats)
+            ch.observe_slice(pre_trees[lm].root_np())
+
     # ---- phase 1: main trace LDEs, commit per height ----------------------
     trace_ms = []
     trace_ldes = []
@@ -221,7 +261,7 @@ def prove_machine(
     z = ch.sample_ext()
 
     inters_per_air = [
-        _extract_interactions(inst.air, trace_ms[i], pvs_ms[i])
+        _extract_interactions(inst.air, trace_ms[i], pvs_ms[i], pre_ms[i])
         for i, inst in enumerate(instances)
     ]
     perm_ldes: List[Optional[jnp.ndarray]] = [None] * len(instances)
@@ -260,7 +300,9 @@ def prove_machine(
     ):
         shift = _shift_for(lm, log_max, g)
         sels = domain.selectors_on_coset(log_n, log_blowup, shift)
-        builder = LdeBuilder(trace_ldes[i], blowup, sels, pvs_ms[i])
+        builder = LdeBuilder(
+            trace_ldes[i], blowup, sels, pvs_ms[i], pre_lde=pre_ldes[i]
+        )
         inst.air.eval(builder)
         constraints = list(builder.constraints)
         if inters_per_air[i]:
@@ -320,6 +362,12 @@ def prove_machine(
             ov.perm_zeta = np.asarray(p_z)
             ov.perm_zeta_next = np.asarray(p_zn)
             _observe_opened(ch, p_z, p_zn)
+        if pre_crevs[i] is not None:
+            e_z = ntt.eval_poly_at_point_ext(pre_crevs[i], zeta)
+            e_zn = ntt.eval_poly_at_point_ext(pre_crevs[i], zeta_next)
+            ov.pre_zeta = np.asarray(e_z)
+            ov.pre_zeta_next = np.asarray(e_zn)
+            _observe_opened(ch, e_z, e_zn)
         opened.append(ov)
     gamma = ch.sample_ext()
 
@@ -327,6 +375,7 @@ def prove_machine(
     n_terms = sum(
         2 * w + 4 * N_CHUNKS
         + (2 * (4 * len(inters_per_air[i]) + 4) if inters_per_air[i] else 0)
+        + (2 * pre_ldes[i].shape[1] if pre_ldes[i] is not None else 0)
         for i, (_, w, _) in enumerate(metas)
     )
     gamma_powers = _ext_powers_host(gamma, max(n_terms, 1))
@@ -348,6 +397,13 @@ def prove_machine(
             opens += [
                 jnp.asarray(opened[i].perm_zeta),
                 jnp.asarray(opened[i].perm_zeta_next),
+            ]
+            points += [zeta, zeta_next]
+        if pre_ldes[i] is not None:
+            mats += [pre_ldes[i], pre_ldes[i]]
+            opens += [
+                jnp.asarray(opened[i].pre_zeta),
+                jnp.asarray(opened[i].pre_zeta_next),
             ]
             points += [zeta, zeta_next]
         mats.append(chunk_ldes[i])
@@ -385,6 +441,11 @@ def prove_machine(
                     if lm in perm_trees
                     else None
                 ),
+                pre=(
+                    merkle.open_index(pre_trees[lm], pos)
+                    if lm in pre_trees
+                    else None
+                ),
             )
             for pos in sorted(positions)
         }
@@ -394,6 +455,7 @@ def prove_machine(
         trace_roots={lm: trace_trees[lm].root_np() for lm in heights},
         quotient_roots={lm: quotient_trees[lm].root_np() for lm in heights},
         perm_roots={lm: t.root_np() for lm, t in perm_trees.items()},
+        pre_roots={lm: t.root_np() for lm, t in pre_trees.items()},
         claimed_sums=claimed_sums,
         opened=opened,
         fri_proof=fri_proof,
@@ -430,11 +492,50 @@ def verify_machine(
     # which AIRs have interactions (re-derived from the AIR definitions via a
     # dry TraceBuilder pass on a zero trace — interaction STRUCTURE is static)
     inter_counts = []
+    pre_traces = []
     for air, (log_n, w, _pvs) in zip(airs, metas):
+        pre_np = air.preprocessed_trace()
+        pre_traces.append(pre_np)
         zero_tm = jnp.zeros((2, w), dtype=jnp.uint32)
-        tb = TraceBuilder(zero_tm, jnp.zeros((len(_pvs),), dtype=jnp.uint32))
+        zero_pre = (
+            None
+            if pre_np is None
+            else jnp.zeros((2, pre_np.shape[1]), dtype=jnp.uint32)
+        )
+        tb = TraceBuilder(
+            zero_tm, jnp.zeros((len(_pvs),), dtype=jnp.uint32), pre_m=zero_pre
+        )
         air.eval(tb)
         inter_counts.append(len(tb.interactions))
+
+    # ---- recompute preprocessed commitments (verification-key material) ---
+    pre_ldes_v: List[Optional[jnp.ndarray]] = []
+    for i, (pre_np, (log_n, _, _), lm) in enumerate(
+        zip(pre_traces, metas, log_ms)
+    ):
+        if pre_np is None:
+            pre_ldes_v.append(None)
+            continue
+        if pre_np.shape[0] != (1 << log_n):
+            return False
+        shift = _shift_for(lm, log_max, g)
+        pm = bb.to_monty(jnp.asarray(np.asarray(pre_np, dtype=np.uint32)))
+        cr = ntt.interpolate_coset_rev(pm, 1)
+        pre_ldes_v.append(ntt.eval_coset_from_rev(cr, log_blowup, shift))
+    expected_pre_roots: Dict[int, np.ndarray] = {}
+    for lm in heights:
+        mats = [
+            pre_ldes_v[i]
+            for i in range(len(metas))
+            if log_ms[i] == lm and pre_ldes_v[i] is not None
+        ]
+        if mats:
+            expected_pre_roots[lm] = merkle.commit(mats).root_np()
+    if set(expected_pre_roots) != set(proof.pre_roots):
+        return False
+    for lm, root in expected_pre_roots.items():
+        if not (np.asarray(proof.pre_roots[lm]) == root).all():
+            return False
 
     # ---- transcript replay ------------------------------------------------
     ch = Challenger()
@@ -444,6 +545,9 @@ def verify_machine(
         ch.observe_canonical_u32(w)
         for pv in pvs:
             ch.observe_canonical_u32(int(pv))
+    for lm in heights:
+        if lm in expected_pre_roots:
+            ch.observe_slice(expected_pre_roots[lm])
     for lm in heights:
         if lm not in proof.trace_roots:
             return False
@@ -473,6 +577,10 @@ def verify_machine(
             if ov.perm_zeta is None or ov.perm_zeta_next is None:
                 return False
             _observe_opened(ch, ov.perm_zeta, ov.perm_zeta_next)
+        if pre_traces[i] is not None:
+            if ov.pre_zeta is None or ov.pre_zeta_next is None:
+                return False
+            _observe_opened(ch, ov.pre_zeta, ov.pre_zeta_next)
     gamma = ch.sample_ext()
 
     # ---- global logUp balance --------------------------------------------
@@ -499,6 +607,16 @@ def verify_machine(
             jnp.asarray(proof.opened[i].trace_zeta_next),
             sels_z,
             pvs_m,
+            pre_ext=(
+                None
+                if proof.opened[i].pre_zeta is None
+                else jnp.asarray(proof.opened[i].pre_zeta)
+            ),
+            pre_next_ext=(
+                None
+                if proof.opened[i].pre_zeta_next is None
+                else jnp.asarray(proof.opened[i].pre_zeta_next)
+            ),
         )
         air.eval(pb)
         constraints = list(pb.constraints)
@@ -572,6 +690,18 @@ def verify_machine(
                     proof.perm_roots[lm], qo.perm, [1 << lm] * n_perm
                 ):
                     return False
+            n_pre = sum(
+                1
+                for i in range(len(metas))
+                if log_ms[i] == lm and pre_traces[i] is not None
+            )
+            if n_pre:
+                if qo.pre is None or qo.pre.index != pos:
+                    return False
+                if not merkle.verify_opening(
+                    proof.pre_roots[lm], qo.pre, [1 << lm] * n_pre
+                ):
+                    return False
 
     # ---- derived codeword callbacks per height ---------------------------
     def _acc_cols(row_canon, opened_canon, gammas, gidx):
@@ -584,11 +714,15 @@ def verify_machine(
         return acc, gidx + len(row_canon)
 
     # total gamma terms
+    pre_widths = [
+        0 if p is None else int(p.shape[1]) for p in pre_traces
+    ]
     total_terms = 0
     for i, (_, w, _) in enumerate(metas):
         total_terms += 2 * w + 4 * N_CHUNKS
         if inter_counts[i]:
             total_terms += 2 * (4 * inter_counts[i] + 4)
+        total_terms += 2 * pre_widths[i]
     gammas = ext_np.powers(gamma_c, max(total_terms, 1))
 
     # per-AIR gamma offsets in prover order
@@ -599,6 +733,7 @@ def verify_machine(
         off += 2 * w
         if inter_counts[i]:
             off += 2 * (4 * inter_counts[i] + 4)
+        off += 2 * pre_widths[i]
         off += 4 * N_CHUNKS
 
     def make_derived(lm):
@@ -613,6 +748,7 @@ def verify_machine(
             x = (shift * pow(w_m_int, idx, P)) % P
             total = [0, 0, 0, 0]
             perm_slot = 0
+            pre_slot = 0
             for slot, i in enumerate(airs_here):
                 log_n, w, _ = metas[i]
                 g_h = bb.two_adic_generator_int(log_n)
@@ -647,6 +783,21 @@ def verify_machine(
                         term,
                         ext_np.add(
                             ext_np.mul(a3, inv_xz), ext_np.mul(a4, inv_xzg)
+                        ),
+                    )
+                if pre_widths[i]:
+                    erow = np.asarray(
+                        bb.from_monty(jnp.asarray(qo.pre.rows[pre_slot]))
+                    ).astype(np.int64)
+                    pre_slot += 1
+                    e_z = _canon_ext(proof.opened[i].pre_zeta)
+                    e_zn = _canon_ext(proof.opened[i].pre_zeta_next)
+                    a6, gidx = _acc_cols(erow, e_z, gammas, gidx)
+                    a7, gidx = _acc_cols(erow, e_zn, gammas, gidx)
+                    term = ext_np.add(
+                        term,
+                        ext_np.add(
+                            ext_np.mul(a6, inv_xz), ext_np.mul(a7, inv_xzg)
                         ),
                     )
                 a5, gidx = _acc_cols(qrow, q_z, gammas, gidx)

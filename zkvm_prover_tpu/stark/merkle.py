@@ -123,27 +123,23 @@ def verify_opening(
         by_height.setdefault(int(h), []).append(row)
     h_max = max(by_height)
 
+    # host (numpy) hashing: path verification is thousands of tiny
+    # permutations — device dispatch would dominate
     def digest_of(hh):
-        cat = np.concatenate(by_height[hh])
-        return np.asarray(p2.hash_rows(jnp.asarray(cat[None, :]))[0])
+        cat = np.concatenate([np.asarray(r) for r in by_height[hh]])
+        return p2.hash_rows_np(cat[None, :].astype(np.uint32))[0]
 
     d = digest_of(h_max)
     idx = opening.index
     s = h_max
     k = 0
     while s > 1:
-        sib = opening.siblings[k]
+        sib = np.asarray(opening.siblings[k], dtype=np.uint32)
         left, right = (d, sib) if idx % 2 == 0 else (sib, d)
-        d = np.asarray(
-            p2.compress(jnp.asarray(left[None, :]), jnp.asarray(right[None, :]))[0]
-        )
+        d = p2.compress_np(left[None, :], right[None, :])[0]
         idx >>= 1
         s //= 2
         k += 1
         if s in by_height:
-            d = np.asarray(
-                p2.compress(
-                    jnp.asarray(d[None, :]), jnp.asarray(digest_of(s)[None, :])
-                )[0]
-            )
+            d = p2.compress_np(d[None, :], digest_of(s)[None, :])[0]
     return bool((d == np.asarray(root)).all())
