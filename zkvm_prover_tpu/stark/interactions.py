@@ -38,10 +38,13 @@ from ..models.air import Interaction
 PERM_COLS_PER_INTERACTION = 4  # ext coords as base columns
 
 
-def _as_ext(x):
+def _as_ext(x, point_mode: bool):
+    """Base builder values -> ext. The mode must be EXPLICIT: a height-4
+    base column has shape (4,) and would be misread as one ext element by
+    shape sniffing."""
     x = jnp.asarray(x, dtype=jnp.uint32)
-    if x.ndim >= 1 and x.shape[-1] == 4:
-        return x
+    if point_mode:
+        return x if x.ndim >= 1 else ext4.from_base(x)
     return ext4.from_base(x)
 
 
@@ -54,14 +57,14 @@ def _mul_sel(c_ext, sel):
     return bb.mul(c_ext, sel[..., None])
 
 
-def fingerprint(inter: Interaction, z, beta):
+def fingerprint(inter: Interaction, z, beta, point_mode: bool = False):
     """fp = bus + sum_k beta^(k+1) * field_k, broadcast over rows."""
     bus_m = np.zeros(4, dtype=np.uint32)
     bus_m[0] = bb.to_monty_int(inter.bus)
     acc = jnp.asarray(bus_m)
     bpow = beta
     for f in inter.fields:
-        fe = _as_ext(f)
+        fe = _as_ext(f, point_mode)
         term = ext4.mul(jnp.broadcast_to(bpow, fe.shape), fe)
         acc = ext4.add(
             jnp.broadcast_to(acc, term.shape) if acc.ndim < term.ndim else acc,
@@ -71,8 +74,8 @@ def fingerprint(inter: Interaction, z, beta):
     return acc
 
 
-def signed_mult(inter: Interaction):
-    m = _as_ext(inter.mult)
+def signed_mult(inter: Interaction, point_mode: bool = False):
+    m = _as_ext(inter.mult, point_mode)
     return m if inter.is_send else ext4.neg(m)
 
 
@@ -83,11 +86,17 @@ def build_perm_trace(interactions: Sequence[Interaction], z, beta):
     """
     cols = []
     for inter in interactions:
-        fp = fingerprint(inter, z, beta)          # (n, 4)
-        sm = signed_mult(inter)                   # (n, 4) or (4,)
-        denom = ext4.sub(jnp.broadcast_to(z, fp.shape), fp)
-        c = ext4.mul(jnp.broadcast_to(sm, fp.shape), ext4.inv(denom))
+        fp = fingerprint(inter, z, beta)          # (n, 4) or (4,) if all
+        sm = signed_mult(inter)                   # fields/mult are constants
+        sm = jnp.asarray(sm)
+        shape = jnp.broadcast_shapes(fp.shape, sm.shape)
+        fp = jnp.broadcast_to(fp, shape)
+        sm = jnp.broadcast_to(sm, shape)
+        denom = ext4.sub(jnp.broadcast_to(z, shape), fp)
+        c = ext4.mul(sm, ext4.inv(denom))
         cols.append(c)
+    shape = jnp.broadcast_shapes(*[c.shape for c in cols])
+    cols = [jnp.broadcast_to(c, shape) for c in cols]
     total = cols[0]
     for c in cols[1:]:
         total = ext4.add(total, c)
@@ -105,13 +114,14 @@ def perm_constraints(
     z,
     beta,
     claimed_sum,            # (4,) ext Montgomery
+    point_mode: bool = False,
 ) -> List:
     k = len(interactions)
     assert len(perm_local) == k + 1
     out = []
     for j, inter in enumerate(interactions):
-        fp = fingerprint(inter, z, beta)
-        sm = signed_mult(inter)
+        fp = fingerprint(inter, z, beta, point_mode)
+        sm = signed_mult(inter, point_mode)
         c = perm_local[j]
         lhs = ext4.mul(c, ext4.sub(jnp.broadcast_to(z, fp.shape), fp))
         out.append(ext4.sub(lhs, jnp.broadcast_to(sm, lhs.shape)))

@@ -636,6 +636,7 @@ def verify_machine(
                 z,
                 beta,
                 jnp.asarray(proof.claimed_sums[i]),
+                point_mode=True,
             )
         acc = [0, 0, 0, 0]
         apow = ext_np.from_base(1)
