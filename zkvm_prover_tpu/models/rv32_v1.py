@@ -16,9 +16,12 @@ New per-row machinery:
     in-field u32 wraparound) carried through the program bus
   - JAL link value rd = pc + 4 with top-limb guards (programs < 2^26 bytes)
 
-Supported: ADDI/ADD/SUB/BEQ/BNE/JAL/LUI. Reuses MemoryBoundaryAir and
-ByteTableAir from rv32_v0 (same REG/BYTE buses). Loads/stores (RAM bus),
-remaining branches, JALR and bitwise/shift tables are ROADMAP Phase 4.
+Supported: ADDI/ADD/SUB/BEQ/BNE/JAL/LUI/LW/SW. Word-aligned RAM uses its
+own offline-memory-checking bus (MEM_BUS) with a touched-address
+RamBoundaryAir (initial RAM must be zero at touched addresses: guest data
+must live above the program image). Reuses MemoryBoundaryAir and
+ByteTableAir from rv32_v0 (same REG/BYTE buses). Remaining branches, JALR
+and bitwise/shift tables are ROADMAP Phase 4.
 """
 
 from __future__ import annotations
@@ -43,10 +46,13 @@ from .rv32_v0 import (
 
 PROGRAM_BUS = 14
 EXEC_BUS = 15
+MEM_BUS = 16
 
 # instruction kinds (flag order)
-K_ADDI, K_ADD, K_SUB, K_BEQ, K_BNE, K_JAL, K_LUI = range(7)
-N_FLAGS = 7
+K_ADDI, K_ADD, K_SUB, K_BEQ, K_BNE, K_JAL, K_LUI, K_LW, K_SW = range(9)
+N_FLAGS = 9
+
+TS_STRIDE = 5  # rs1, rs2, rd, mem ports + headroom
 
 
 def decode_v1(instr: int) -> Tuple[int, int, int, int, int, int]:
@@ -89,29 +95,42 @@ def decode_v1(instr: int) -> Tuple[int, int, int, int, int, int]:
         return (K_JAL, 0, 0, rd, 0, imm)
     if opcode == 0x37:  # LUI
         return (K_LUI, 0, 0, rd, instr & 0xFFFFF000, 0)
+    if opcode == 0x03 and funct3 == 2:  # LW
+        imm = instr >> 20
+        if imm >= 0x800:
+            imm -= 0x1000
+        return (K_LW, rs1, 0, rd, imm % (1 << 32), 0)
+    if opcode == 0x23 and funct3 == 2:  # SW
+        imm = ((instr >> 25) << 5) | ((instr >> 7) & 0x1F)
+        if imm >= 0x800:
+            imm -= 0x1000
+        return (K_SW, rs1, rs2, 0, imm % (1 << 32), 0)
     raise ValueError(f"instruction 0x{instr:08x} not in v1 subset")
 
 
 class CpuAirV1(Air):
     IS_REAL = 0
-    FLAGS = 1            # 7 flags
-    PC = 8
-    TS = 9
-    RS1_IDX, RS2_IDX, RD_IDX = 10, 11, 12
-    IMM = 13             # 4 limbs
-    TARGET = 17
-    RS1_VAL = 18         # 4
-    RS2_VAL = 22         # 4
-    RD_VAL = 26          # 4
-    CARRY = 30           # 4
-    RS1_PREV_TS, RS2_PREV_TS, RD_PREV_TS = 34, 35, 36
-    RD_PREV_VAL = 37     # 4
-    DIFF = 41            # 6
-    IS_EQ = 47
-    S_INV = 48
-    IS_TAKEN = 49
-    NEXT_PC = 50
-    width = 51
+    FLAGS = 1            # 9 flags
+    PC = 10
+    TS = 11
+    RS1_IDX, RS2_IDX, RD_IDX = 12, 13, 14
+    IMM = 15             # 4 limbs
+    TARGET = 19
+    RS1_VAL = 20         # 4
+    RS2_VAL = 24         # 4
+    RD_VAL = 28          # 4
+    CARRY = 32           # 4
+    RS1_PREV_TS, RS2_PREV_TS, RD_PREV_TS = 36, 37, 38
+    RD_PREV_VAL = 39     # 4 (doubles as the previous RAM value for SW)
+    DIFF = 43            # 4 accesses x 2 byte limbs = 8
+    IS_EQ = 51
+    S_INV = 52
+    IS_TAKEN = 53
+    NEXT_PC = 54
+    ADDR = 55            # 4 (memory effective address limbs)
+    Q0 = 59              # addr0 / 4 (word alignment witness)
+    MEM_PREV_TS = 60
+    width = 61
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
@@ -119,7 +138,7 @@ class CpuAirV1(Air):
         one = b.constant(1)
         real = b.local(C.IS_REAL)
         f = [b.local(C.FLAGS + k) for k in range(N_FLAGS)]
-        f_addi, f_add, f_sub, f_beq, f_bne, f_jal, f_lui = f
+        f_addi, f_add, f_sub, f_beq, f_bne, f_jal, f_lui, f_lw, f_sw = f
         pc = b.local(C.PC)
         ts = b.local(C.TS)
         target = b.local(C.TARGET)
@@ -136,9 +155,16 @@ class CpuAirV1(Air):
         b.assert_eq(acc, real)
 
         # access multiplicities
-        rs1_mult = b.add(b.add(f_addi, b.add(f_add, f_sub)), b.add(f_beq, f_bne))
-        rs2_mult = b.add(b.add(f_add, f_sub), b.add(f_beq, f_bne))
-        rd_mult = b.add(b.add(f_addi, b.add(f_add, f_sub)), b.add(f_jal, f_lui))
+        f_mem = b.add(f_lw, f_sw)
+        rs1_mult = b.add(
+            b.add(b.add(f_addi, b.add(f_add, f_sub)), b.add(f_beq, f_bne)),
+            f_mem,
+        )
+        rs2_mult = b.add(b.add(f_add, f_sub), b.add(b.add(f_beq, f_bne), f_sw))
+        rd_mult = b.add(
+            b.add(b.add(f_addi, b.add(f_add, f_sub)), b.add(f_jal, f_lui)),
+            f_lw,
+        )
 
         # operand b for arithmetic: imm for ADDI, rs2 for ADD/SUB
         r_type = b.add(f_add, f_sub)
@@ -150,7 +176,8 @@ class CpuAirV1(Air):
             for k in range(N_LIMBS)
         ]
 
-        # limb arithmetic with carries (ADDI/ADD add-like; SUB borrows)
+        # limb arithmetic with carries: ADDI/ADD add into RD, SUB borrows
+        # into RD, LW/SW add rs1+imm into ADDR (carry columns shared)
         add_like = b.add(f_addi, f_add)
         c256 = b.constant(LIMB)
         for k in range(N_LIMBS):
@@ -169,9 +196,31 @@ class CpuAirV1(Air):
             expr_sub = b.add(
                 b.sub(lhs_sub, b.local(C.RD_VAL + k)), b.mul(c256, c_cur)
             )
-            b.assert_zero(
-                b.add(b.mul(add_like, expr_add), b.mul(f_sub, expr_sub))
+            lhs_mem = b.add(b.local(C.RS1_VAL + k), b.local(C.IMM + k))
+            if c_prev is not None:
+                lhs_mem = b.add(lhs_mem, c_prev)
+            expr_mem = b.sub(
+                b.sub(lhs_mem, b.local(C.ADDR + k)), b.mul(c256, c_cur)
             )
+            b.assert_zero(
+                b.add(
+                    b.add(
+                        b.mul(add_like, expr_add), b.mul(f_sub, expr_sub)
+                    ),
+                    b.mul(f_mem, expr_mem),
+                )
+            )
+
+        # word alignment: addr0 = 4 * q0, q0 byte-checked via 4*q0
+        b.assert_zero(
+            b.mul(
+                f_mem,
+                b.sub(b.local(C.ADDR), b.mul(b.constant(4), b.local(C.Q0))),
+            )
+        )
+        b.push_send(BYTE_BUS, [b.mul(b.constant(4), b.local(C.Q0))], f_mem)
+        for k in range(N_LIMBS):
+            b.push_send(BYTE_BUS, [b.local(C.ADDR + k)], f_mem)
 
         # LUI: rd limbs equal the (ROM) imm limbs
         for k in range(N_LIMBS):
@@ -221,7 +270,9 @@ class CpuAirV1(Air):
         # byte range checks
         for k in range(N_LIMBS):
             b.push_send(BYTE_BUS, [b.local(C.RD_VAL + k)], rd_mult)
-        for dk, mult in ((0, rs1_mult), (2, rs2_mult), (4, rd_mult)):
+        for dk, mult in (
+            (0, rs1_mult), (2, rs2_mult), (4, rd_mult), (6, f_mem)
+        ):
             b.push_send(BYTE_BUS, [b.local(C.DIFF + dk)], mult)
             b.push_send(BYTE_BUS, [b.local(C.DIFF + dk + 1)], mult)
 
@@ -230,6 +281,7 @@ class CpuAirV1(Air):
             (C.RS1_PREV_TS, ts, rs1_mult, 0),
             (C.RS2_PREV_TS, b.add(ts, one), rs2_mult, 2),
             (C.RD_PREV_TS, b.add(ts, b.constant(2)), rd_mult, 4),
+            (C.MEM_PREV_TS, b.add(ts, b.constant(3)), f_mem, 6),
         ]
         for prev_col, cur_ts, mult, dk in accesses:
             diff = b.sub(b.sub(cur_ts, b.local(prev_col)), one)
@@ -264,6 +316,30 @@ class CpuAirV1(Air):
             rd_mult,
         )
 
+        # RAM memory argument (word-addressed): LW keeps the value, SW
+        # replaces RD_PREV_VAL (the old cell value) with rs2
+        addr_f = [b.local(C.ADDR + k) for k in range(N_LIMBS)]
+        prev_val_f = [
+            b.add(
+                b.mul(f_lw, b.local(C.RD_VAL + k)),
+                b.mul(f_sw, b.local(C.RD_PREV_VAL + k)),
+            )
+            for k in range(N_LIMBS)
+        ]
+        new_val_f = [
+            b.add(
+                b.mul(f_lw, b.local(C.RD_VAL + k)),
+                b.mul(f_sw, b.local(C.RS2_VAL + k)),
+            )
+            for k in range(N_LIMBS)
+        ]
+        b.push_receive(
+            MEM_BUS, addr_f + [b.local(C.MEM_PREV_TS)] + prev_val_f, f_mem
+        )
+        b.push_send(
+            MEM_BUS, addr_f + [b.add(ts, b.constant(3))] + new_val_f, f_mem
+        )
+
         # program ROM lookup (includes the branch/jump target)
         b.push_send(
             PROGRAM_BUS,
@@ -275,18 +351,48 @@ class CpuAirV1(Air):
 
         # execution bus: receive state, send successor state
         b.push_receive(EXEC_BUS, [pc, ts], real)
-        b.push_send(EXEC_BUS, [next_pc, b.add(ts, b.constant(3))], real)
+        b.push_send(
+            EXEC_BUS, [next_pc, b.add(ts, b.constant(TS_STRIDE))], real
+        )
+
+
+class RamBoundaryAir(Air):
+    """Opens/closes the RAM memory-checking chains for every touched word
+    address. Initial RAM at touched addresses must be zero (guest data lives
+    above the program image)."""
+
+    IS_REAL = 0
+    ADDR = 1          # 4 limbs
+    FINAL_TS = 5
+    FINAL_VAL = 6     # 4
+    width = 10
+    num_public_values = 0
+
+    def eval(self, b: AirBuilder) -> None:
+        R_ = RamBoundaryAir
+        real = b.local(R_.IS_REAL)
+        b.assert_bool(real)
+        addr = [b.local(R_.ADDR + k) for k in range(N_LIMBS)]
+        zero = b.constant(0)
+        b.push_send(MEM_BUS, addr + [zero, zero, zero, zero, zero], real)
+        b.push_receive(
+            MEM_BUS,
+            addr
+            + [b.local(R_.FINAL_TS)]
+            + [b.local(R_.FINAL_VAL + k) for k in range(N_LIMBS)],
+            real,
+        )
 
 
 class ProgramAirV1(Air):
     """Program ROM with preprocessed decoded fields incl. branch targets."""
 
     PC = 0
-    FLAGS = 1     # 7
-    RS1, RS2, RD = 8, 9, 10
-    IMM = 11      # 4
-    TARGET = 15
-    preprocessed_width = 16
+    FLAGS = 1     # 9
+    RS1, RS2, RD = 10, 11, 12
+    IMM = 13      # 4
+    TARGET = 17
+    preprocessed_width = 18
     MULT = 0
     width = 1
     num_public_values = 0
@@ -362,7 +468,8 @@ class ExecBoundaryAir(Air):
 # ---------------------------------------------------------------------------
 
 
-def generate_traces(program_words: List[int], records: np.ndarray):
+def generate_traces(program_words: List[int], records: np.ndarray,
+                    data_base: int = 0x1000):
     n_cycles = len(records)
     n = max(4, 1 << (n_cycles - 1).bit_length()) if n_cycles else 4
 
@@ -371,6 +478,7 @@ def generate_traces(program_words: List[int], records: np.ndarray):
     byte_counts = np.zeros(256, dtype=np.int64)
     last_ts = np.zeros(32, dtype=np.int64)
     last_val = np.zeros(32, dtype=np.int64)
+    ram: dict = {}  # word addr -> (last_ts, value)
 
     def bcheck(v):
         assert 0 <= v < 256
@@ -379,9 +487,11 @@ def generate_traces(program_words: List[int], records: np.ndarray):
 
     fin_pc, fin_ts = 0, 1
     for i in range(n_cycles):
-        pc, instr, rs1_val, rs2_val, rd_val, _, _ = (int(x) for x in records[i])
+        pc, instr, rs1_val, rs2_val, rd_val, mem_addr, mem_val = (
+            int(x) for x in records[i]
+        )
         kind, rs1, rs2, rd, imm, boff = decode_v1(instr)
-        ts = 3 * i + 1
+        ts = TS_STRIDE * i + 1
         row = cpu[i]
         row[C.IS_REAL] = 1
         row[C.FLAGS + kind] = 1
@@ -391,9 +501,10 @@ def generate_traces(program_words: List[int], records: np.ndarray):
         for k, v in enumerate(_limbs(imm)):
             row[C.IMM + k] = v
 
-        reads_rs1 = kind in (K_ADDI, K_ADD, K_SUB, K_BEQ, K_BNE)
-        reads_rs2 = kind in (K_ADD, K_SUB, K_BEQ, K_BNE)
-        writes_rd = kind in (K_ADDI, K_ADD, K_SUB, K_JAL, K_LUI)
+        reads_rs1 = kind in (K_ADDI, K_ADD, K_SUB, K_BEQ, K_BNE, K_LW, K_SW)
+        reads_rs2 = kind in (K_ADD, K_SUB, K_BEQ, K_BNE, K_SW)
+        writes_rd = kind in (K_ADDI, K_ADD, K_SUB, K_JAL, K_LUI, K_LW)
+        is_mem = kind in (K_LW, K_SW)
         if writes_rd:
             assert rd != 0, "v1 requires rd != x0 for writes"
 
@@ -407,7 +518,7 @@ def generate_traces(program_words: List[int], records: np.ndarray):
         for k, v in enumerate(_limbs(rd_v)):
             row[C.RD_VAL + k] = bcheck(v) if writes_rd else v
 
-        # carries for arithmetic
+        # carries: arithmetic into RD or address into ADDR
         if kind in (K_ADDI, K_ADD):
             bop = imm if kind == K_ADDI else rs2_v
             carry = 0
@@ -421,6 +532,23 @@ def generate_traces(program_words: List[int], records: np.ndarray):
                 s = ((rs1_v >> (8 * k)) & 0xFF) - ((rs2_v >> (8 * k)) & 0xFF) - borrow
                 borrow = 1 if s < 0 else 0
                 row[C.CARRY + k] = borrow
+        elif is_mem:
+            addr = mem_addr
+            assert addr == (rs1_v + imm) % (1 << 32)
+            assert addr % 4 == 0, "v1 supports word-aligned LW/SW only"
+            assert addr >= data_base, (
+                "v1 RAM accesses must live above the program image"
+            )
+            carry = 0
+            for k in range(N_LIMBS):
+                s = ((rs1_v >> (8 * k)) & 0xFF) + ((imm >> (8 * k)) & 0xFF) + carry
+                carry = s >> 8
+                row[C.CARRY + k] = carry
+            for k, v in enumerate(_limbs(addr)):
+                row[C.ADDR + k] = bcheck(v)
+            q0 = (addr & 0xFF) // 4
+            row[C.Q0] = q0
+            bcheck(4 * q0)
 
         # equality witness
         d = [((rs1_v >> (8 * k)) & 0xFF) - ((rs2_v >> (8 * k)) & 0xFF)
@@ -447,7 +575,7 @@ def generate_traces(program_words: List[int], records: np.ndarray):
         row[C.TARGET] = target
         next_pc = target if taken else pc + 4
         row[C.NEXT_PC] = next_pc
-        fin_pc, fin_ts = next_pc, ts + 3
+        fin_pc, fin_ts = next_pc, ts + TS_STRIDE
 
         # register accesses
         def read(idx, cur_ts, val, prev_col):
@@ -474,6 +602,20 @@ def generate_traces(program_words: List[int], records: np.ndarray):
             row[C.DIFF + 5] = bcheck(d3 >> 8)
             last_ts[rd] = ts + 2
             last_val[rd] = rd_v
+        if is_mem:
+            prev_ts, prev_val = ram.get(mem_addr, (0, 0))
+            row[C.MEM_PREV_TS] = prev_ts
+            if kind == K_LW:
+                assert prev_val == rd_v, "RAM/trace divergence on LW"
+                new_val = prev_val
+            else:  # SW — RD_PREV_VAL doubles as the old cell value
+                for k, v in enumerate(_limbs(prev_val)):
+                    row[C.RD_PREV_VAL + k] = v
+                new_val = rs2_v
+            d4 = ts + 3 - prev_ts - 1
+            row[C.DIFF + 6] = bcheck(d4 & 0xFF)
+            row[C.DIFF + 7] = bcheck(d4 >> 8)
+            ram[mem_addr] = (ts + 3, new_val)
 
     # padding rows must satisfy next_pc = pc + 4 (all-zero flags)
     for i in range(n_cycles, n):
@@ -507,6 +649,17 @@ def generate_traces(program_words: List[int], records: np.ndarray):
         for k, v in enumerate(_limbs(int(last_val[r]))):
             mem[r, MemoryBoundaryAir.FINAL_VAL + k] = v
 
+    # RAM boundary (touched word addresses)
+    n_ram = max(4, 1 << (max(len(ram), 1) - 1).bit_length())
+    ram_tr = np.zeros((n_ram, RamBoundaryAir.width), dtype=np.uint32)
+    for j, (addr, (fts, fval)) in enumerate(sorted(ram.items())):
+        ram_tr[j, RamBoundaryAir.IS_REAL] = 1
+        for k, v in enumerate(_limbs(addr)):
+            ram_tr[j, RamBoundaryAir.ADDR + k] = v
+        ram_tr[j, RamBoundaryAir.FINAL_TS] = fts
+        for k, v in enumerate(_limbs(fval)):
+            ram_tr[j, RamBoundaryAir.FINAL_VAL + k] = v
+
     byte = np.zeros((256, ByteTableAir.width), dtype=np.uint32)
     byte[:, ByteTableAir.VALUE] = np.arange(256)
     byte[:, ByteTableAir.MULT] = byte_counts % bb.P
@@ -515,12 +668,14 @@ def generate_traces(program_words: List[int], records: np.ndarray):
         (CpuAirV1(), cpu),
         (program_air, prog),
         (ExecBoundaryAir(), ex_tr),
+        (RamBoundaryAir(), ram_tr),
         (MemoryBoundaryAir(), mem),
         (ByteTableAir(), byte),
     ]
 
 
-def execute_and_trace(program_words: List[int], max_cycles: int = 1 << 14):
+def execute_and_trace(program_words: List[int], max_cycles: int = 1 << 12):
+    # segment cap: timestamp diffs are 16-bit range-checked; 5*4096 < 2^16
     ex = Rv32Executor()
     ex.load_program(program_words)
     state = ex.run(max_cycles)
