@@ -17,7 +17,7 @@
 //       0 = HALT (a0 = exit code)
 //       1 = HINT_READ: read next hint byte stream word into a0 (from the
 //           host-provided hint buffer; the openvm hint-stream analog)
-//       2 = REVEAL: append a0 to the public-values buffer
+//       2 = REVEAL: public_values[a1] = a0 (indexed, openvm reveal analog)
 //   - segmentation: execution stops after `max_cycles` with state
 //     PAUSED so the host can snapshot boundary state (continuations).
 
@@ -252,8 +252,11 @@ bool step(Machine &m) {
         rd_val = v;
         rd = 10; // write into a0
         write_rd = true;
-      } else if (a7 == 2) { // REVEAL
-        m.public_values.push_back(a0);
+      } else if (a7 == 2) { // REVEAL: public_values[a1] = a0
+        uint32_t idx = m.regs[11];
+        if (idx >= m.public_values.size())
+          m.public_values.resize(idx + 1, 0);
+        m.public_values[idx] = a0;
       } else {
         m.state = 3;
         return false;

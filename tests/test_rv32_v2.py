@@ -92,8 +92,8 @@ def v2_proof():
     prog = full_coverage_program()
     ex, state, air_traces = rv32_v2.execute_and_trace(prog, data_base=0x3000)
     assert state == HALTED
-    airs = [a for a, _ in air_traces]
-    instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
+    airs = [a for a, _, _ in air_traces]
+    instances = [machine.AirInstance(a, t, pvs) for a, t, pvs in air_traces]
     cfg = fast_test_config()
     proof = machine.prove_machine(instances, cfg)
     return ex, airs, instances, proof, cfg
@@ -127,9 +127,11 @@ def test_executor_semantics(v2_proof):
 def test_bus_balance_and_constraints(v2_proof):
     _, _, instances, _, _ = v2_proof
     pairs = [(i.air, i.trace) for i in instances]
-    for air, tr in pairs:
-        assert debug.check_constraints(air, tr) == []
-    assert debug.check_bus_balance(pairs) == {}
+    pvs_map = {i: inst.public_values for i, inst in enumerate(instances)}
+    for inst in instances:
+        assert debug.check_constraints(inst.air, inst.trace,
+                                       inst.public_values) == []
+    assert debug.check_bus_balance(pairs, pvs_map) == {}
 
 
 def test_proof_verifies(v2_proof):
@@ -149,8 +151,9 @@ def test_reject_forged_div_result(v2_proof):
     tr[r, C.Q] = (int(tr[r, C.Q]) + 1) % 256
     pairs = [(inst.air, inst.trace if i != idx else tr)
              for i, inst in enumerate(instances)]
+    pvs_map = {i: inst.public_values for i, inst in enumerate(instances)}
     assert (debug.check_constraints(airs[idx], tr)
-            or debug.check_bus_balance(pairs))
+            or debug.check_bus_balance(pairs, pvs_map))
 
 
 def test_reject_forged_load(v2_proof):
@@ -167,7 +170,8 @@ def test_reject_forged_load(v2_proof):
     tr[r, rv32_v2.RD_VAL] = (int(tr[r, rv32_v2.RD_VAL]) + 1) % 256
     pairs = [(inst.air, inst.trace if i != idx else tr)
              for i, inst in enumerate(instances)]
-    assert debug.check_bus_balance(pairs) != {}
+    pvs_map = {i: inst.public_values for i, inst in enumerate(instances)}
+    assert debug.check_bus_balance(pairs, pvs_map) != {}
 
 
 def test_fibonacci_loop_with_memory():
@@ -190,8 +194,8 @@ def test_fibonacci_loop_with_memory():
     ex, state, air_traces = rv32_v2.execute_and_trace(prog, data_base=0x3000)
     assert state == HALTED
     assert ex.get_reg(R["s2"]) == 89       # fib(11)
-    airs = [a for a, _ in air_traces]
-    instances = [machine.AirInstance(a, t, []) for a, t in air_traces]
+    airs = [a for a, _, _ in air_traces]
+    instances = [machine.AirInstance(a, t, pvs) for a, t, pvs in air_traces]
     cfg = fast_test_config()
     proof = machine.prove_machine(instances, cfg)
     assert machine.verify_machine(airs, proof, cfg)

@@ -52,6 +52,10 @@ PROGRAM_BUS = 24
 EXEC_BUS = 25
 MEM_BUS = 26
 XOR_BUS = 27
+PV_BUS = 28
+
+N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
+#                 = 32 bytes, crates/types/base/src/aggregation.rs)
 
 TS_STRIDE = 5  # ports: rs1@ts, rs2@ts+1, rd@ts+2, mem@ts+3
 
@@ -66,7 +70,8 @@ TS_STRIDE = 5  # ports: rs1@ts, rs2@ts+1, rd@ts+2, mem@ts+3
     K_JAL, K_JALR, K_LUI, K_AUIPC,
     K_LB, K_LH, K_LW, K_LBU, K_LHU, K_SB, K_SH, K_SW,
     K_MUL, K_MULH, K_MULHSU, K_MULHU, K_DIV, K_DIVU, K_REM, K_REMU,
-) = range(45)
+    K_ECALL,
+) = range(46)
 
 
 def _limbs(v: int) -> List[int]:
@@ -143,6 +148,8 @@ def decode_v2(instr: int) -> Tuple[int, int, int, int, int, int]:
         t = {0: K_SB, 1: K_SH, 2: K_SW}
         if funct3 in t:
             return (t[funct3], rs1, rs2, 0, imm, 0)
+    if instr == 0x00000073:  # ECALL (syscall variant chosen by a7 at runtime)
+        return (K_ECALL, 0, 0, 0, 0, 0)
     raise ValueError(f"instruction 0x{instr:08x} not in rv32im")
 
 
@@ -1051,6 +1058,132 @@ class DivRemAir(Air):
 
 
 # ---------------------------------------------------------------------------
+# SystemAir — ECALL rows: HALT (a7=0), HINT_READ (a7=1), REVEAL (a7=2).
+#
+# The reference analog is openvm's system chips (terminate, hint stream,
+# reveal via openvm::io::reveal_bytes32 — /root/reference/crates/types/
+# circuit/src/lib.rs:14-17). A HALT row receives (pc, ts) from the exec bus
+# and sends nothing, so the execution chain can only terminate through a
+# genuine ECALL-halt with exit code 0. REVEAL rows forward (index, word
+# limbs) onto PV_BUS where PublicValuesAir binds them to the proof's public
+# values. HINT rows write a host-chosen word into a0 (witness
+# nondeterminism, like the openvm hint stream).
+# ---------------------------------------------------------------------------
+
+
+class SystemAir(Air):
+    F_HALT, F_HINT, F_REVEAL = 3, 4, 5
+    A7_PREV_TS = 6
+    A7_D = 7                     # 2 ts-diff bytes
+    A0_VAL = 9                   # 4 (read port: halt exit code / reveal word)
+    A0_PREV_TS = 13
+    A0_D = 14                    # 2
+    H_VAL = 16                   # 4 (hint write: new a0)
+    H_PREV_VAL = 20              # 4
+    H_PREV_TS = 24
+    H_D = 25                     # 2
+    A1_VAL = 27                  # 4 (reveal index register)
+    A1_PREV_TS = 31
+    A1_D = 32                    # 2
+    width = 34
+    num_public_values = 0
+
+    def eval(self, b: AirBuilder) -> None:
+        C = SystemAir
+        one = b.constant(1)
+        c256 = b.constant(LIMB)
+        real = b.local(IS_REAL)
+        pc, ts = b.local(PC), b.local(TS)
+        f_halt = b.local(C.F_HALT)
+        f_hint = b.local(C.F_HINT)
+        f_rev = b.local(C.F_REVEAL)
+        b.assert_bool(real)
+        for f in (f_halt, f_hint, f_rev):
+            b.assert_bool(f)
+        b.assert_eq(b.add(f_halt, b.add(f_hint, f_rev)), real)
+
+        zero = b.constant(0)
+        b.push_send(PROGRAM_BUS,
+                    [pc, b.constant(K_ECALL + 1), zero, zero, zero,
+                     zero, zero, zero, zero, zero], real)
+
+        # exec bus: halt consumes the chain; hint/reveal continue at pc+4
+        b.push_receive(EXEC_BUS, [pc, ts], real)
+        b.push_send(EXEC_BUS,
+                    [b.add(pc, b.constant(4)),
+                     b.add(ts, b.constant(TS_STRIDE))],
+                    b.add(f_hint, f_rev))
+
+        def port(idx, prev_ts_col, cur_ts, d_col, recv_vals, send_vals,
+                 mult):
+            b.push_receive(REG_BUS,
+                           [b.constant(idx), b.local(prev_ts_col)]
+                           + recv_vals, mult)
+            b.push_send(REG_BUS, [b.constant(idx), cur_ts] + send_vals,
+                        mult)
+            diff = b.sub(b.sub(cur_ts, b.local(prev_ts_col)), one)
+            recon = b.add(b.local(d_col),
+                          b.mul(c256, b.local(d_col + 1)))
+            b.assert_zero(b.mul(mult, b.sub(diff, recon)))
+            b.push_send(BYTE_BUS, [b.local(d_col)], mult)
+            b.push_send(BYTE_BUS, [b.local(d_col + 1)], mult)
+
+        # a7 (x17) read at ts: value is the syscall id (0/1/2 by flag)
+        a7 = [b.add(f_hint, b.mul(b.constant(2), f_rev)), zero, zero, zero]
+        port(17, C.A7_PREV_TS, ts, C.A7_D, a7, a7, real)
+
+        # a0 (x10) read at ts+1 for halt (exit code, must be 0) and reveal
+        a0 = [b.local(C.A0_VAL + k) for k in range(N_LIMBS)]
+        m0 = b.add(f_halt, f_rev)
+        port(10, C.A0_PREV_TS, b.add(ts, one), C.A0_D, a0, a0, m0)
+        for k in range(N_LIMBS):
+            b.assert_zero(b.mul(f_halt, a0[k]))
+
+        # a0 (x10) write at ts+1 for hint (host-chosen word)
+        hv = [b.local(C.H_VAL + k) for k in range(N_LIMBS)]
+        hp = [b.local(C.H_PREV_VAL + k) for k in range(N_LIMBS)]
+        port(10, C.H_PREV_TS, b.add(ts, one), C.H_D, hp, hv, f_hint)
+        for k in range(N_LIMBS):
+            b.push_send(BYTE_BUS, [hv[k]], f_hint)
+
+        # a1 (x11) read at ts+2 for reveal (PV index, single byte)
+        a1 = [b.local(C.A1_VAL + k) for k in range(N_LIMBS)]
+        port(11, C.A1_PREV_TS, b.add(ts, b.constant(2)), C.A1_D, a1, a1,
+             f_rev)
+        for k in range(1, N_LIMBS):
+            b.assert_zero(b.mul(f_rev, a1[k]))
+
+        b.push_send(PV_BUS, [a1[0]] + a0, f_rev)
+
+
+class PublicValuesAir(Air):
+    """Binds the machine's public values to REVEAL messages: the first row
+    receives (i, word_i limbs) for every PV word, with the word limbs taken
+    directly from the proof's public values (transcript-bound). pvs[32] is
+    the presence flag: 1 requires every word revealed exactly once, 0 means
+    the program revealed nothing (the host rejects all-zero PVs, like the
+    reference's precheck at crates/prover/src/utils/vm.rs:20-25)."""
+
+    IS_FIRST = 0
+    width = 1
+    num_public_values = 4 * N_PV_WORDS + 1
+
+    def eval(self, b: AirBuilder) -> None:
+        is_first = b.local(PublicValuesAir.IS_FIRST)
+        b.assert_bool(is_first)
+        b.when_first_row().assert_eq(is_first,
+                                     b.public_value(4 * N_PV_WORDS))
+        b.when_transition().assert_zero(b.next(PublicValuesAir.IS_FIRST))
+        for i in range(N_PV_WORDS):
+            b.push_receive(
+                PV_BUS,
+                [b.constant(i)]
+                + [b.public_value(4 * i + k) for k in range(N_LIMBS)],
+                is_first,
+            )
+
+
+# ---------------------------------------------------------------------------
 # Program ROM / boundaries / tables
 # ---------------------------------------------------------------------------
 
@@ -1103,15 +1236,17 @@ class ProgramAirV2(Air):
 
 
 class ExecBoundaryAirV2(Air):
-    """Opens the execution chain at (pc=0, ts=1); closes at the witnessed
-    final state."""
+    """Opens the execution chain at (pc=0, ts=1). pvs[0] = IS_HALTED: when 1,
+    no witnessed-close rows are allowed, so the chain can only terminate in a
+    SystemAir HALT row (exit code 0). When 0, one is_fin row closes at the
+    witnessed (pc, ts) — the paused-segment (continuations) case."""
 
     IS_INIT = 0
     IS_FIN = 1
     FIN_PC = 2
     FIN_TS = 3
     width = 4
-    num_public_values = 0
+    num_public_values = 1
 
     def eval(self, b: AirBuilder) -> None:
         E = ExecBoundaryAirV2
@@ -1121,8 +1256,8 @@ class ExecBoundaryAirV2(Air):
         b.assert_bool(is_fin)
         b.when_first_row().assert_eq(is_init, b.constant(1))
         b.when_transition().assert_zero(b.next(E.IS_INIT))
-        b.when_last_row().assert_eq(is_fin, b.constant(1))
-        b.when_transition().assert_zero(is_fin)
+        halted = b.public_value(0)
+        b.assert_zero(b.mul(is_fin, halted))
         b.push_send(EXEC_BUS, [b.constant(0), b.constant(1)], is_init)
         b.push_receive(EXEC_BUS, [b.local(E.FIN_PC), b.local(E.FIN_TS)],
                        is_fin)
@@ -1210,6 +1345,9 @@ class _TraceState:
         self.data_base = data_base
         self.fin_pc = 0
         self.fin_ts = 1
+        self.halted = False
+        self.pv_words = [0] * N_PV_WORDS
+        self.pv_counts = [0] * N_PV_WORDS
 
     def bcheck(self, v: int) -> int:
         assert 0 <= v < 256, f"byte out of range: {v}"
@@ -1633,6 +1771,53 @@ def _fill_divrem(row, st, kind, rs1_v, rs2_v, rd_v):
         assert lt == 1, "remainder >= divisor"
 
 
+def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
+    """ECALL row: variant from the tracked a7; returns next_pc or None for
+    halt (the exec chain closes on the halt row)."""
+    C = SystemAir
+    row[IS_REAL] = 1
+    row[PC], row[TS] = pc, ts
+    a0 = int(st.last_val[10])
+    a1 = int(st.last_val[11])
+    a7 = int(st.last_val[17])
+
+    def port(idx, prev_ts_col, cur_ts, d_col, new_val=None):
+        row[prev_ts_col] = st.last_ts[idx]
+        d = cur_ts - int(st.last_ts[idx]) - 1
+        row[d_col] = st.bcheck(d & 0xFF)
+        row[d_col + 1] = st.bcheck(d >> 8)
+        st.last_ts[idx] = cur_ts
+        if new_val is not None:
+            st.last_val[idx] = new_val
+
+    port(17, C.A7_PREV_TS, ts, C.A7_D)
+    if a7 == 0:  # HALT
+        row[C.F_HALT] = 1
+        assert a0 == 0, "provable halt requires exit code 0"
+        port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
+        st.halted = True
+        return None
+    if a7 == 1:  # HINT_READ
+        row[C.F_HINT] = 1
+        for k, v in enumerate(_limbs(a0)):
+            row[C.H_PREV_VAL + k] = v
+        for k, v in enumerate(_limbs(rd_val)):
+            row[C.H_VAL + k] = st.bcheck(v)
+        port(10, C.H_PREV_TS, ts + 1, C.H_D, new_val=rd_val)
+        return pc + 4
+    assert a7 == 2, f"unknown syscall a7={a7}"
+    row[C.F_REVEAL] = 1
+    for k, v in enumerate(_limbs(a0)):
+        row[C.A0_VAL + k] = v
+    port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
+    assert 0 <= a1 < N_PV_WORDS, f"reveal index {a1} out of range"
+    row[C.A1_VAL] = a1
+    port(11, C.A1_PREV_TS, ts + 2, C.A1_D)
+    st.pv_words[a1] = a0
+    st.pv_counts[a1] += 1
+    return pc + 4
+
+
 _PAD_BRANCH = {BranchAir.IS_EQ: 1, BranchAir.NEXT_PC: 4}
 _PAD_LS = {LoadStoreAir.IND: 1}
 _PAD_SHIFT = {ShiftAir.T_A: 1, ShiftAir.P2T: 1, ShiftAir.PW: 1,
@@ -1646,11 +1831,12 @@ _CHIPS = [
     ("loadstore", LoadStoreAir, LS_SET, _PAD_LS),
     ("mul", MulAir, MUL_SET, {}),
     ("divrem", DivRemAir, DIV_SET, {}),
+    ("system", SystemAir, {K_ECALL}, {}),
 ]
 _CHIP_KINDS = {"alu": ALU_KINDS, "shift": SHIFT_KINDS,
                "branch": BRANCH_KINDS, "jump": JUMP_KINDS,
                "loadstore": LS_KINDS, "mul": MUL_KINDS,
-               "divrem": DIV_KINDS}
+               "divrem": DIV_KINDS, "system": (K_ECALL,)}
 CHIP_OF_KIND = {}
 for _name, _air, _set, _ in _CHIPS:
     for _k in _set:
@@ -1659,7 +1845,8 @@ for _name, _air, _set, _ in _CHIPS:
 
 def generate_traces(program_words: List[int], records: np.ndarray,
                     data_base: int = 0x2000):
-    """Build all chip traces for a v2 execution. Returns (Air, trace) pairs.
+    """Build all chip traces for a v2 execution. Returns (Air, trace,
+    public_values) triples.
 
     Plays the role of the reference's per-chip trace fills (openvm
     rv32im-circuit; SURVEY.md §2.2 "trace fill on host")."""
@@ -1674,6 +1861,14 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         air_cls = dict((n, a) for n, a, *_ in _CHIPS)[name]
         row = np.zeros(air_cls.width, dtype=np.uint32)
         ts = TS_STRIDE * i + 1
+        if name == "system":
+            assert not st.halted, "records continue past a halt"
+            next_pc = _fill_system(row, st, pc, ts, rd_v)
+            rows[name].append(row)
+            if next_pc is None:
+                break
+            st.fin_pc, st.fin_ts = next_pc, ts + TS_STRIDE
+            continue
         target = (pc + boff) if kind in BRANCH_SET | {K_JAL} else 0
         _fill_common(row, st, kind, _CHIP_KINDS[name], pc, ts, rs1, rs2, rd,
                      imm, target, rs1_v, rs2_v, rd_v)
@@ -1696,6 +1891,12 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         rows[name].append(row)
         st.fin_pc, st.fin_ts = next_pc, ts + TS_STRIDE
 
+    pv_present = 1 if any(st.pv_counts) else 0
+    if pv_present:
+        assert all(c == 1 for c in st.pv_counts), (
+            "every PV word must be revealed exactly once, got counts "
+            f"{st.pv_counts}")
+
     out = []
     for name, air_cls, _kset, pad in _CHIPS:
         chip_rows = rows[name]
@@ -1708,25 +1909,34 @@ def generate_traces(program_words: List[int], records: np.ndarray,
                 tr[j, col] = v
             if name == "branch":
                 tr[j, BranchAir.NEXT_PC] = 4  # pc=0 padding: next = pc+4
-        out.append((air_cls(), tr))
+        out.append((air_cls(), tr, []))
 
     # program ROM
     program_air = ProgramAirV2(program_words)
     n_prog = program_air.preprocessed_trace().shape[0]
+    n_rec = sum(len(r) for r in rows.values())
     exec_counts = (
-        np.bincount((records[:, 0] // 4).astype(np.int64), minlength=n_prog)
-        if len(records) else np.zeros(n_prog, dtype=np.int64))
+        np.bincount((records[:n_rec, 0] // 4).astype(np.int64),
+                    minlength=n_prog)
+        if n_rec else np.zeros(n_prog, dtype=np.int64))
     prog = np.zeros((n_prog, ProgramAirV2.width), dtype=np.uint32)
     prog[:, ProgramAirV2.MULT] = exec_counts[:n_prog].astype(np.uint32)
-    out.append((program_air, prog))
+    out.append((program_air, prog, []))
 
-    # execution boundary
+    # execution boundary (halted: the SystemAir halt row closed the chain)
     ex_tr = np.zeros((4, ExecBoundaryAirV2.width), dtype=np.uint32)
     ex_tr[0, ExecBoundaryAirV2.IS_INIT] = 1
-    ex_tr[3, ExecBoundaryAirV2.IS_FIN] = 1
-    ex_tr[3, ExecBoundaryAirV2.FIN_PC] = st.fin_pc
-    ex_tr[3, ExecBoundaryAirV2.FIN_TS] = st.fin_ts
-    out.append((ExecBoundaryAirV2(), ex_tr))
+    if not st.halted:
+        ex_tr[3, ExecBoundaryAirV2.IS_FIN] = 1
+        ex_tr[3, ExecBoundaryAirV2.FIN_PC] = st.fin_pc
+        ex_tr[3, ExecBoundaryAirV2.FIN_TS] = st.fin_ts
+    out.append((ExecBoundaryAirV2(), ex_tr, [1 if st.halted else 0]))
+
+    # public values chip
+    pv_tr = np.zeros((4, PublicValuesAir.width), dtype=np.uint32)
+    pv_tr[0, PublicValuesAir.IS_FIRST] = pv_present
+    pv_list = [limb for w in st.pv_words for limb in _limbs(w)]
+    out.append((PublicValuesAir(), pv_tr, pv_list + [pv_present]))
 
     # RAM boundary (touched word addresses)
     n_ram = max(4, 1 << (max(len(st.ram), 1) - 1).bit_length())
@@ -1738,7 +1948,7 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         ram_tr[j, RamBoundaryAirV2.B_FINAL_TS] = fts
         for k, v in enumerate(_limbs(fval)):
             ram_tr[j, RamBoundaryAirV2.B_FINAL_VAL + k] = v
-    out.append((RamBoundaryAirV2(), ram_tr))
+    out.append((RamBoundaryAirV2(), ram_tr, []))
 
     # register boundary
     mem = np.zeros((32, MemoryBoundaryAir.width), dtype=np.uint32)
@@ -1747,28 +1957,28 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         mem[r, MemoryBoundaryAir.FINAL_TS] = st.last_ts[r]
         for k, v in enumerate(_limbs(int(st.last_val[r]))):
             mem[r, MemoryBoundaryAir.FINAL_VAL + k] = v
-    out.append((MemoryBoundaryAir(), mem))
+    out.append((MemoryBoundaryAir(), mem, []))
 
     # byte table
     byte = np.zeros((256, ByteTableAir.width), dtype=np.uint32)
     byte[:, ByteTableAir.VALUE] = np.arange(256)
     byte[:, ByteTableAir.MULT] = st.byte_counts % bb.P
-    out.append((ByteTableAir(), byte))
+    out.append((ByteTableAir(), byte, []))
 
     # xor table
     xor_air = XorTableAir()
     xt = np.zeros((1 << 16, XorTableAir.width), dtype=np.uint32)
     for (x, y), c in st.xor_counts.items():
         xt[x * 256 + y, XorTableAir.MULT] = c % bb.P
-    out.append((xor_air, xt))
+    out.append((xor_air, xt, []))
 
     return out
 
 
 def execute_and_trace(program_words: List[int], max_cycles: int = 1 << 12,
                       data_base: int = 0x2000):
-    """Run the native executor, truncate at the first non-v2 record (the
-    halt ecall tail), and build all chip traces."""
+    """Run the native executor, truncate at the first non-v2 record, and
+    build all chip traces (ECALL rows included via SystemAir)."""
     ex = Rv32Executor()
     ex.load_program(program_words)
     state = ex.run(max_cycles)

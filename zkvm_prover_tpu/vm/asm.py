@@ -243,13 +243,23 @@ def halt(code_reg_or_imm=0):
     return out
 
 
-def reveal(reg):
-    """Reveal reg as a public value: a0=reg; a7=2; ecall."""
+def reveal(reg, idx=0):
+    """Reveal reg as public-value word idx: a0=reg; a1=idx; a7=2; ecall."""
     out = []
     if reg != "a0":
         out.append(add("a0", reg, "zero"))
+    out += li("a1", idx)
     out += li("a7", 2)
     out.append(ecall())
+    return out
+
+
+def hint_read(rd="a0"):
+    """Read the next hint-stream word into rd: a7=1; ecall; mv rd, a0."""
+    out = li("a7", 1)
+    out.append(ecall())
+    if rd != "a0":
+        out.append(add(rd, "a0", "zero"))
     return out
 
 
