@@ -46,6 +46,12 @@ struct Machine {
   uint32_t pc = 0;
   std::unordered_map<uint32_t, std::vector<uint8_t>> pages;
   std::vector<ExecRecord> records;
+  // Continuations support: first-touch old values of word-aligned addresses
+  // accessed since the last vm_begin_segment (openvm persistent-memory
+  // boundary analog; SURVEY.md §2.3 "segment parallelism").
+  std::unordered_map<uint32_t, uint32_t> touched;
+  std::vector<uint32_t> touched_order;
+  bool track_touched = false;
   std::vector<uint32_t> public_values;
   std::vector<uint8_t> hints;
   size_t hint_pos = 0;
@@ -81,6 +87,15 @@ struct Machine {
   void store16(uint32_t a, uint16_t v) {
     store8(a, v & 0xff);
     store8(a + 1, v >> 8);
+  }
+  // Record the pre-segment value of the word(s) covering [a, a+size).
+  void touch(uint32_t a, uint32_t size) {
+    if (!track_touched) return;
+    uint32_t first = a & ~3u, last = (a + size - 1) & ~3u;
+    for (uint32_t w = first;; w += 4) {
+      if (touched.emplace(w, load32(w)).second) touched_order.push_back(w);
+      if (w == last) break;
+    }
   }
 };
 
@@ -155,6 +170,7 @@ bool step(Machine &m) {
     case 0x03: { // loads
       int32_t imm = sext(instr >> 20, 12);
       mem_addr = a + imm;
+      m.touch(mem_addr, funct3 == 2 ? 4 : (funct3 == 1 || funct3 == 5) ? 2 : 1);
       switch (funct3) {
         case 0: mem_val = (uint32_t)(int32_t)(int8_t)m.load8(mem_addr); break;
         case 1: mem_val = (uint32_t)(int32_t)(int16_t)m.load16(mem_addr); break;
@@ -171,6 +187,7 @@ bool step(Machine &m) {
       int32_t imm = sext(((instr >> 25) << 5) | ((instr >> 7) & 0x1f), 12);
       mem_addr = a + imm;
       mem_val = b;
+      m.touch(mem_addr, funct3 == 2 ? 4 : funct3 == 1 ? 2 : 1);
       switch (funct3) {
         case 0: m.store8(mem_addr, b & 0xff); break;
         case 1: m.store16(mem_addr, b & 0xffff); break;
@@ -348,6 +365,24 @@ void vm_copy_records(const Machine *m, uint32_t *out) {
   }
 }
 void vm_clear_records(Machine *m) { m->records.clear(); }
+
+// -- continuations: segment boundary state ---------------------------------
+void vm_begin_segment(Machine *m) {
+  m->records.clear();
+  m->touched.clear();
+  m->touched_order.clear();
+  m->track_touched = true;
+}
+uint64_t vm_num_touched(const Machine *m) { return m->touched_order.size(); }
+// out: triples (word_addr, old_val, new_val) in first-touch order.
+void vm_copy_touched(Machine *m, uint32_t *out) {
+  for (size_t i = 0; i < m->touched_order.size(); i++) {
+    uint32_t a = m->touched_order[i];
+    out[3 * i] = a;
+    out[3 * i + 1] = m->touched.at(a);
+    out[3 * i + 2] = m->load32(a);
+  }
+}
 
 uint64_t vm_num_public_values(const Machine *m) {
   return m->public_values.size();

@@ -1844,13 +1844,27 @@ for _name, _air, _set, _ in _CHIPS:
 
 
 def generate_traces(program_words: List[int], records: np.ndarray,
-                    data_base: int = 0x2000):
+                    data_base: int = 0x2000, init_regs=None, init_ram=None,
+                    init_pc: int = 0, core_only: bool = False):
     """Build all chip traces for a v2 execution. Returns (Air, trace,
     public_values) triples.
 
     Plays the role of the reference's per-chip trace fills (openvm
-    rv32im-circuit; SURVEY.md §2.2 "trace fill on host")."""
+    rv32im-circuit; SURVEY.md §2.2 "trace fill on host").
+
+    Continuations (rv32_continuations.py) pass the segment-boundary state:
+    `init_regs` (32 register values), `init_ram` ({word_addr: value} of
+    touched words' pre-segment values), `init_pc`, and `core_only=True` to
+    get back `(partial_out, state)` — instruction chips + program ROM + PV
+    chip only — so the caller can attach its own boundary AIRs before
+    `finish_tables` emits the byte/xor lookup tables."""
     st = _TraceState(data_base)
+    if init_regs is not None:
+        st.last_val[:] = np.asarray(init_regs, dtype=np.int64)
+    if init_ram:
+        for a, v in init_ram.items():
+            st.ram[int(a)] = (0, int(v))
+    st.fin_pc = init_pc
     rows: Dict[str, list] = {name: [] for name, *_ in _CHIPS}
 
     for i in range(len(records)):
@@ -1923,6 +1937,15 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     prog[:, ProgramAirV2.MULT] = exec_counts[:n_prog].astype(np.uint32)
     out.append((program_air, prog, []))
 
+    # public values chip
+    pv_tr = np.zeros((4, PublicValuesAir.width), dtype=np.uint32)
+    pv_tr[0, PublicValuesAir.IS_FIRST] = pv_present
+    pv_list = [limb for w in st.pv_words for limb in _limbs(w)]
+    out.append((PublicValuesAir(), pv_tr, pv_list + [pv_present]))
+
+    if core_only:
+        return out, st
+
     # execution boundary (halted: the SystemAir halt row closed the chain)
     ex_tr = np.zeros((4, ExecBoundaryAirV2.width), dtype=np.uint32)
     ex_tr[0, ExecBoundaryAirV2.IS_INIT] = 1
@@ -1931,12 +1954,6 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         ex_tr[3, ExecBoundaryAirV2.FIN_PC] = st.fin_pc
         ex_tr[3, ExecBoundaryAirV2.FIN_TS] = st.fin_ts
     out.append((ExecBoundaryAirV2(), ex_tr, [1 if st.halted else 0]))
-
-    # public values chip
-    pv_tr = np.zeros((4, PublicValuesAir.width), dtype=np.uint32)
-    pv_tr[0, PublicValuesAir.IS_FIRST] = pv_present
-    pv_list = [limb for w in st.pv_words for limb in _limbs(w)]
-    out.append((PublicValuesAir(), pv_tr, pv_list + [pv_present]))
 
     # RAM boundary (touched word addresses)
     n_ram = max(4, 1 << (max(len(st.ram), 1) - 1).bit_length())
@@ -1959,13 +1976,17 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             mem[r, MemoryBoundaryAir.FINAL_VAL + k] = v
     out.append((MemoryBoundaryAir(), mem, []))
 
-    # byte table
+    return finish_tables(out, st)
+
+
+def finish_tables(out, st: _TraceState):
+    """Append the byte/xor lookup tables — LAST, after every other trace has
+    registered its byte-range/xor counts into the shared state."""
     byte = np.zeros((256, ByteTableAir.width), dtype=np.uint32)
     byte[:, ByteTableAir.VALUE] = np.arange(256)
     byte[:, ByteTableAir.MULT] = st.byte_counts % bb.P
     out.append((ByteTableAir(), byte, []))
 
-    # xor table
     xor_air = XorTableAir()
     xt = np.zeros((1 << 16, XorTableAir.width), dtype=np.uint32)
     for (x, y), c in st.xor_counts.items():

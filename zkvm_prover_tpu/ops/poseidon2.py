@@ -269,6 +269,21 @@ def _mul_np(a, b):
     return np.where(u >= _P64, u - _P64, u)
 
 
+_R2_64 = np.uint64(bb.R2)
+
+
+def to_monty_np(a: np.ndarray) -> np.ndarray:
+    """Vectorized canonical -> Montgomery (numpy, any shape)."""
+    return _mul_np(np.asarray(a, dtype=np.uint64), _R2_64).astype(np.uint32)
+
+
+def from_monty_np(a: np.ndarray) -> np.ndarray:
+    """Vectorized Montgomery -> canonical: mont-mul by 1."""
+    return _mul_np(np.asarray(a, dtype=np.uint64), np.uint64(1)).astype(
+        np.uint32
+    )
+
+
 def _add_np(a, b):
     s = a.astype(np.uint64) + b.astype(np.uint64)
     return np.where(s >= _P64, s - _P64, s)

@@ -73,3 +73,79 @@ def build_batch_info_v7(
         post_msg_queue_hash=last.post_msg_queue_hash,
         encryption_key=None,
     )
+
+
+def build_batch_info_v6(witness: BatchWitness) -> BatchInfo:
+    """BatchInfo builder v6 (parity with reference
+    crates/types/batch/src/builder/v6.rs:14-59): decode the chunk-segmented
+    envelope, check the header's blob_data_proof (z, y) against the
+    barycentric evaluation at the payload challenge digest, and cross-check
+    chunk data digests + the legacy batch data_hash."""
+    from .payload import EnvelopeV6, PayloadV6
+
+    header = witness.header
+    envelope = EnvelopeV6.from_slice(witness.blob_bytes)
+    payload = PayloadV6.from_envelope(envelope)
+
+    padded = witness.blob_bytes + bytes(
+        N_BLOB_BYTES - len(witness.blob_bytes)
+    )
+    blob_poly = BlobPolynomial(padded)
+    challenge = payload.challenge_digest(header.blob_versioned_hash)
+    z, y = blob_poly.evaluate(challenge)
+    assert z.to_bytes(32, "big") == header.blob_data_proof[0], (
+        "blob_data_proof challenge (z) mismatch"
+    )
+    assert y.to_bytes(32, "big") == header.blob_data_proof[1], (
+        "blob_data_proof evaluation (y) mismatch"
+    )
+
+    first, last = payload.validate(header, witness.chunk_infos)
+
+    return BatchInfo(
+        parent_state_root=first.prev_state_root,
+        parent_batch_hash=header.parent_batch_hash,
+        state_root=last.post_state_root,
+        batch_hash=header.batch_hash(),
+        chain_id=last.chain_id,
+        withdraw_root=last.withdraw_root,
+        prev_msg_queue_hash=b"\x00" * 32,
+        post_msg_queue_hash=b"\x00" * 32,
+        encryption_key=None,
+    )
+
+
+def build_batch_info_validium(witness: BatchWitness) -> BatchInfo:
+    """Validium builder (parity with reference
+    crates/types/batch/src/builder/validium.rs:26-68): no blob/DA data; the
+    header commits to the last block hash, post state root and withdraw
+    root directly."""
+    from ..base.version import Version
+
+    header = witness.header
+    version = Version.from_version_byte(witness.version)
+    assert int(version.stf_version) == header.version, (
+        "validium header version mismatch"
+    )
+
+    chunk_infos = witness.chunk_infos
+    assert chunk_infos, "at least one chunk in batch"
+    first, last = chunk_infos[0], chunk_infos[-1]
+
+    assert last.post_blockhash == header.commitment, (
+        "validium commitment != last block hash"
+    )
+    assert last.post_state_root == header.post_state_root
+    assert last.withdraw_root == header.withdraw_root
+
+    return BatchInfo(
+        parent_state_root=first.prev_state_root,
+        parent_batch_hash=header.parent_batch_hash,
+        state_root=last.post_state_root,
+        batch_hash=header.batch_hash(),
+        chain_id=last.chain_id,
+        withdraw_root=last.withdraw_root,
+        prev_msg_queue_hash=first.prev_msg_queue_hash,
+        post_msg_queue_hash=last.post_msg_queue_hash,
+        encryption_key=first.encryption_key,
+    )

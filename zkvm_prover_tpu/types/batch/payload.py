@@ -160,3 +160,117 @@ class PayloadV7:
         for ctx, wctx in zip(self.block_contexts, all_ctxs):
             assert ctx == wctx
         return first, last
+
+
+# ---------------------------------------------------------------------------
+# DA-codec v6 (euclid forks; parity with reference
+# crates/types/batch/src/payload/v6.rs:18-213)
+# ---------------------------------------------------------------------------
+
+N_MAX_CHUNKS_V6 = 45
+N_BYTES_NUM_CHUNKS = 2
+N_BYTES_CHUNK_SIZE = 4
+N_BYTES_METADATA_V6 = N_BYTES_NUM_CHUNKS + N_MAX_CHUNKS_V6 * N_BYTES_CHUNK_SIZE
+
+
+@dataclass
+class EnvelopeV6:
+    """v6 envelope: byte 0 is the is_encoded flag, the rest is the
+    (possibly zstd) payload (v6.rs:18-31)."""
+
+    envelope_bytes: bytes   # blob_bytes[1:]
+    is_encoded: bool
+
+    @classmethod
+    def from_slice(cls, blob_bytes: bytes) -> "EnvelopeV6":
+        return cls(
+            envelope_bytes=bytes(blob_bytes[1:]),
+            is_encoded=(blob_bytes[0] & 1) == 1,
+        )
+
+    @classmethod
+    def build(cls, payload_bytes: bytes, encode: bool = True) -> bytes:
+        """Witness-builder: payload -> full blob bytes (flag || body)."""
+        body = _zstd_compress(payload_bytes) if encode else payload_bytes
+        return bytes([1 if encode else 0]) + body
+
+
+@dataclass
+class PayloadV6:
+    """Chunk-segmented v6 payload: metadata (chunk count + sizes) followed by
+    per-chunk flattened L2 tx bytes (v6.rs:63-142)."""
+
+    metadata_digest: bytes
+    chunk_data_digests: List[bytes]
+
+    @classmethod
+    def from_envelope(cls, env: EnvelopeV6) -> "PayloadV6":
+        payload = (
+            _zstd_decompress(env.envelope_bytes)
+            if env.is_encoded
+            else env.envelope_bytes
+        )
+        metadata = payload[:N_BYTES_METADATA_V6]
+        metadata_digest = keccak256(metadata)
+        batch_bytes = payload[N_BYTES_METADATA_V6:]
+        valid_chunks = int.from_bytes(metadata[:N_BYTES_NUM_CHUNKS], "big")
+        sizes = [
+            int.from_bytes(
+                metadata[
+                    N_BYTES_NUM_CHUNKS + i * N_BYTES_CHUNK_SIZE :
+                    N_BYTES_NUM_CHUNKS + (i + 1) * N_BYTES_CHUNK_SIZE
+                ],
+                "big",
+            )
+            for i in range(N_MAX_CHUNKS_V6)
+        ]
+        for sz in sizes[valid_chunks:]:
+            assert sz == 0, "unused chunk has size 0"
+        digests = []
+        idx = 0
+        for sz in sizes[:valid_chunks]:
+            digests.append(keccak256(batch_bytes[idx : idx + sz]))
+            idx += sz
+        assert idx == len(batch_bytes), (
+            "chunk segmentation len must add up to the correct value"
+        )
+        return cls(metadata_digest=metadata_digest,
+                   chunk_data_digests=digests)
+
+    @classmethod
+    def build_payload_bytes(cls, chunk_tx_datas: List[bytes]) -> bytes:
+        """Witness-builder inverse of from_envelope."""
+        assert 0 < len(chunk_tx_datas) <= N_MAX_CHUNKS_V6
+        meta = len(chunk_tx_datas).to_bytes(N_BYTES_NUM_CHUNKS, "big")
+        for i in range(N_MAX_CHUNKS_V6):
+            sz = len(chunk_tx_datas[i]) if i < len(chunk_tx_datas) else 0
+            meta += sz.to_bytes(N_BYTES_CHUNK_SIZE, "big")
+        return meta + b"".join(chunk_tx_datas)
+
+    def challenge_digest_preimage(self, versioned_hash: bytes) -> bytes:
+        """metadata_digest || 45 chunk digests (padded with the last valid
+        digest) || versioned hash (v6.rs:183-212)."""
+        assert self.chunk_data_digests, "at least we have one"
+        padded = self.chunk_data_digests + [
+            self.chunk_data_digests[-1]
+        ] * (N_MAX_CHUNKS_V6 - len(self.chunk_data_digests))
+        return (
+            self.metadata_digest + b"".join(padded[:N_MAX_CHUNKS_V6])
+            + versioned_hash
+        )
+
+    def challenge_digest(self, versioned_hash: bytes) -> bytes:
+        return keccak256(self.challenge_digest_preimage(versioned_hash))
+
+    def validate(self, header, chunk_infos: List[ChunkInfo]):
+        """Cross-check against aggregated chunk PIs + the header data_hash
+        (v6.rs:144-172)."""
+        assert chunk_infos, "at least 1 chunk info"
+        assert len(self.chunk_data_digests) == len(chunk_infos)
+        for digest, ci in zip(self.chunk_data_digests, chunk_infos):
+            assert digest == ci.tx_data_digest
+        batch_data_hash = keccak256(
+            b"".join(ci.data_hash for ci in chunk_infos)
+        )
+        assert batch_data_hash == header.data_hash
+        return chunk_infos[0], chunk_infos[-1]

@@ -9,6 +9,7 @@ library on demand with g++ (no pybind11 in the image; plain C ABI).
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 from typing import List, Optional
@@ -32,13 +33,17 @@ def build_native(force: bool = False) -> Path:
     if _SO.exists() and not force:
         if _SO.stat().st_mtime >= _SRC.stat().st_mtime:
             return _SO
+    # compile to a private temp name and atomically rename: concurrent
+    # builders (pytest-xdist workers) must never observe a half-written .so
+    tmp = _SO.with_suffix(f".tmp{os.getpid()}.so")
     subprocess.run(
         [
             "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-            str(_SRC), "-o", str(_SO),
+            str(_SRC), "-o", str(tmp),
         ],
         check=True,
     )
+    os.replace(tmp, _SO)
     return _SO
 
 
@@ -78,6 +83,12 @@ def _load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.vm_clear_records.argtypes = [ctypes.c_void_p]
+        lib.vm_begin_segment.argtypes = [ctypes.c_void_p]
+        lib.vm_num_touched.argtypes = [ctypes.c_void_p]
+        lib.vm_num_touched.restype = ctypes.c_uint64
+        lib.vm_copy_touched.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+        ]
         lib.vm_num_public_values.argtypes = [ctypes.c_void_p]
         lib.vm_num_public_values.restype = ctypes.c_uint64
         lib.vm_copy_public_values.argtypes = [
@@ -154,6 +165,20 @@ class Rv32Executor:
 
     def clear_records(self) -> None:
         self._lib.vm_clear_records(self._h)
+
+    def begin_segment(self) -> None:
+        """Clear records and start first-touch tracking (continuations)."""
+        self._lib.vm_begin_segment(self._h)
+
+    def touched(self) -> np.ndarray:
+        """(n, 3) uint32 (word_addr, old_val, new_val) since begin_segment."""
+        n = int(self._lib.vm_num_touched(self._h))
+        out = np.zeros((n, 3), dtype=np.uint32)
+        if n:
+            self._lib.vm_copy_touched(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+            )
+        return out
 
     def public_values(self) -> List[int]:
         n = int(self._lib.vm_num_public_values(self._h))
