@@ -33,7 +33,8 @@ from ..fields import babybear as bb
 from ..ops import poseidon2 as p2
 from .air import Air, AirBuilder
 
-POSEIDON_BUS = 29
+POSEIDON_BUS = 29        # compress queries: input[16] || output[0..8]
+POSEIDON_FULL_BUS = 32   # sponge queries: input[16] || output[16]
 
 WIDTH = 16
 HALF_F = p2.ROUNDS_F // 2
@@ -53,7 +54,8 @@ for _r in range(ROUNDS_P):
     _INT_COLS.append((_cursor, _cursor + 1))
     _cursor += 1 + WIDTH
 MULT = _cursor
-NUM_COLS = _cursor + 1
+MULT_FULL = _cursor + 1
+NUM_COLS = _cursor + 2
 
 
 def _canon_constants():
@@ -143,25 +145,34 @@ class Poseidon2Air(Air):
                 b.assert_eq(b.local(out_base + i), lin[i])
             state = [b.local(out_base + i) for i in range(WIDTH)]
 
-        msg = [b.local(INPUT + i) for i in range(WIDTH)] + state[:DIGEST]
-        b.push_receive(POSEIDON_BUS, msg, b.local(MULT))
+        inputs = [b.local(INPUT + i) for i in range(WIDTH)]
+        b.push_receive(POSEIDON_BUS, inputs + state[:DIGEST], b.local(MULT))
+        b.push_receive(POSEIDON_FULL_BUS, inputs + state,
+                       b.local(MULT_FULL))
 
     # -- trace generation (host-side) -----------------------------------
     @staticmethod
-    def generate_trace(inputs: np.ndarray, mults: np.ndarray) -> np.ndarray:
-        """inputs: (n, 16) canonical uint32; mults: (n,) uint32.
-        Rows are padded to a power of two with zero-input permutations."""
+    def generate_trace(inputs: np.ndarray, mults: np.ndarray,
+                       mults_full=None) -> np.ndarray:
+        """inputs: (n, 16) canonical uint32; mults: (n,) compress-bus
+        multiplicities; mults_full: optional (n,) sponge-bus (full-output)
+        multiplicities. Rows are padded to a power of two with zero-input
+        permutations."""
         n = max(4, len(inputs))
         n = 1 << (n - 1).bit_length()
         full_in = np.zeros((n, WIDTH), dtype=np.uint32)
         full_mult = np.zeros(n, dtype=np.uint32)
+        full_mult2 = np.zeros(n, dtype=np.uint32)
         if len(inputs):
             full_in[: len(inputs)] = inputs
             full_mult[: len(inputs)] = mults
+            if mults_full is not None:
+                full_mult2[: len(inputs)] = mults_full
 
         trace = np.zeros((n, NUM_COLS), dtype=np.uint32)
         trace[:, INPUT : INPUT + WIDTH] = full_in
         trace[:, MULT] = full_mult
+        trace[:, MULT_FULL] = full_mult2
 
         ext_rc, int_rc, diag = p2._get_constants(WIDTH)
         # Montgomery-domain round replay capturing intermediates.
