@@ -80,7 +80,8 @@ def test_proof_carries_pvs_and_verifies(ecall_proof):
     words = [sum(pvs[4 * i + k] << (8 * k) for k in range(4))
              for i in range(rv32_v2.N_PV_WORDS)]
     assert words == ex.public_values()
-    assert pvs[-1] == 1  # presence flag
+    # per-word reveal flags all set
+    assert pvs[4 * rv32_v2.N_PV_WORDS:] == [1] * rv32_v2.N_PV_WORDS
     # the exec boundary meta claims halted
     eb_idx = next(i for i, a in enumerate(airs)
                   if isinstance(a, rv32_v2.ExecBoundaryAirV2))

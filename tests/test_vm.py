@@ -64,9 +64,9 @@ def test_memory_ops():
         asm.lw("t2", "t0", 0),
         asm.lbu("t3", "t0", 3),     # 0xDE
         asm.lh("t4", "t0", 0),      # sign-extended 0xBEEF -> negative
-        asm.reveal("t2"),
-        asm.reveal("t3"),
-        asm.reveal("t4"),
+        asm.reveal("t2", 0),
+        asm.reveal("t3", 1),
+        asm.reveal("t4", 2),
         asm.halt(0),
     ]
     ex, state = run_program(prog)
@@ -86,10 +86,10 @@ def test_m_extension_edge_cases():
         asm.li("t4", 5),
         asm.div("t5", "t4", "zero"),   # div by zero -> -1
         asm.remu("t6", "t4", "zero"),  # rem by zero -> a
-        asm.reveal("t2"),
-        asm.reveal("t3"),
-        asm.reveal("t5"),
-        asm.reveal("t6"),
+        asm.reveal("t2", 0),
+        asm.reveal("t3", 1),
+        asm.reveal("t5", 2),
+        asm.reveal("t6", 3),
         asm.halt(0),
     ]
     ex, state = run_program(prog)
@@ -108,9 +108,9 @@ def test_mulh_variants():
         asm.mulh("t2", "t0", "t1"),
         asm.mulhu("t3", "t0", "t1"),
         asm.mulhsu("t4", "t0", "t1"),
-        asm.reveal("t2"),
-        asm.reveal("t3"),
-        asm.reveal("t4"),
+        asm.reveal("t2", 0),
+        asm.reveal("t3", 1),
+        asm.reveal("t4", 2),
         asm.halt(0),
     ]
     ex, _ = run_program(prog)

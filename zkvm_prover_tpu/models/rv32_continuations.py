@@ -298,6 +298,12 @@ class MemoryMerkleAir(Air):
         b.push_send(MERKLE_BUS, [level, pidx] + old_p + new_p,
                     b.sub(real, root))
 
+        # Exactly one root row, pinned to row 0: without this, an all-padding
+        # Merkle trace satisfies every constraint while the 16 root public
+        # values float free (forged memory-state transition). A no-touch
+        # segment proves old_root == new_root via a root row with lt=rt=0.
+        b.when_first_row().assert_eq(root, one)
+        b.when_transition().assert_zero(b.next(C.IS_ROOT))
         b.assert_zero(b.mul(root, b.sub(level, b.constant(self.depth))))
         b.assert_zero(b.mul(root, pidx))
         for k in range(8):
@@ -424,6 +430,28 @@ def _merkle_rows(seg: SegmentWitness, touched_leaves: Dict[int, Tuple[int, int]]
             rows.append(row)
             parents[pidx] = (old_p, new_p)
         current = parents
+
+    if not touched_leaves:
+        # No-touch segment: emit the mandatory root row (lt=rt=0) proving
+        # old_root == new_root over the untouched children.
+        row = np.zeros(C.width, dtype=np.uint32)
+        row[C.IS_REAL] = 1
+        row[C.IS_ROOT] = 1
+        row[C.LEVEL] = depth
+        left = seg.pre_state.node_digest(depth - 1, 0, pre_cache)
+        right = seg.pre_state.node_digest(depth - 1, 1, pre_cache)
+        root_d = query(left, right)
+        query(left, right)  # new_p compression (same input, mult 2)
+        for base in (C.OLD_L, C.NEW_L):
+            row[base:base + 8] = left
+        for base in (C.OLD_R, C.NEW_R):
+            row[base:base + 8] = right
+        for base in (C.OLD_P, C.NEW_P):
+            row[base:base + 8] = root_d
+        rows.append(row)
+
+    # AIR pins the root row to row 0 (exactly-one-root constraint)
+    rows.sort(key=lambda r: -int(r[C.IS_ROOT]))
 
     inputs = np.array([v[0] for v in pose.values()], dtype=np.uint32)
     mults = np.array([v[1] for v in pose.values()], dtype=np.uint32)
@@ -561,14 +589,23 @@ def _seg_pvs(bundle: SegmentProofBundle):
 
 
 def verify_chain(bundles: List[SegmentProofBundle], config,
-                 initial_root: Optional[np.ndarray] = None) -> bool:
-    """Verify every segment proof and the boundary chaining between them."""
+                 initial_root: Optional[np.ndarray] = None,
+                 entry_pc: int = 0,
+                 depth: int = DEPTH) -> bool:
+    """Verify every segment proof and the boundary chaining between them.
+
+    Like openvm's leaf verifier, the first segment is pinned to the program
+    entry point and to a known initial memory commitment (defaults to the
+    empty-memory root at `depth`); a chain starting at an arbitrary pc or
+    memory state does not verify.
+    """
     if not bundles:
         return False
+    if initial_root is None:
+        initial_root = MemState(depth).root()
     prev_root = None
     prev_pc = None
-    pv_reveals = 0
-    user_pv = None
+    word_counts = [0] * v2.N_PV_WORDS
     for i, bundle in enumerate(bundles):
         if not machine.verify_machine(bundle.airs, bundle.proof, config):
             return False
@@ -577,8 +614,9 @@ def verify_chain(bundles: List[SegmentProofBundle], config,
         old_root = np.array(merkle_pvs[:8], dtype=np.uint32)
         new_root = np.array(merkle_pvs[8:16], dtype=np.uint32)
         if i == 0:
-            if initial_root is not None and not (
-                    old_root == np.asarray(initial_root)).all():
+            if init_pc != entry_pc:
+                return False
+            if not (old_root == np.asarray(initial_root)).all():
                 return False
         else:
             if not (old_root == prev_root).all() or init_pc != prev_pc:
@@ -586,10 +624,12 @@ def verify_chain(bundles: List[SegmentProofBundle], config,
         last = i == len(bundles) - 1
         if bool(halted) != last:
             return False
-        if user_pvs is not None and user_pvs[-1] == 1:
-            pv_reveals += 1
-            user_pv = user_pvs[:-1]
+        if user_pvs is not None:
+            flags = user_pvs[4 * v2.N_PV_WORDS:]
+            for w, f in enumerate(flags):
+                word_counts[w] += int(f)
         prev_root, prev_pc = new_root, final_pc
-    if pv_reveals != 1:
+    # each PV word revealed exactly once across the whole chain
+    if any(c != 1 for c in word_counts):
         return False
     return True

@@ -1157,29 +1157,37 @@ class SystemAir(Air):
 
 
 class PublicValuesAir(Air):
-    """Binds the machine's public values to REVEAL messages: the first row
-    receives (i, word_i limbs) for every PV word, with the word limbs taken
-    directly from the proof's public values (transcript-bound). pvs[32] is
-    the presence flag: 1 requires every word revealed exactly once, 0 means
-    the program revealed nothing (the host rejects all-zero PVs, like the
-    reference's precheck at crates/prover/src/utils/vm.rs:20-25)."""
+    """Binds the machine's public values to REVEAL messages. PV layout:
+    pvs[4i+k] = limb k of word i (i < N_PV_WORDS); pvs[4*N_PV_WORDS + i] =
+    per-word reveal flag. A word with flag=1 must have been revealed exactly
+    once (the PV bus receive with multiplicity flag_i balances exactly one
+    REVEAL send); a word with flag=0 is constrained to zero limbs, so
+    partial reveals are sound: unrevealed words cannot carry attacker-chosen
+    values. The host rejects all-zero PVs like the reference's precheck
+    (crates/prover/src/utils/vm.rs:20-25)."""
 
     IS_FIRST = 0
     width = 1
-    num_public_values = 4 * N_PV_WORDS + 1
+    num_public_values = 5 * N_PV_WORDS
 
     def eval(self, b: AirBuilder) -> None:
         is_first = b.local(PublicValuesAir.IS_FIRST)
         b.assert_bool(is_first)
-        b.when_first_row().assert_eq(is_first,
-                                     b.public_value(4 * N_PV_WORDS))
+        b.when_first_row().assert_eq(is_first, b.constant(1))
         b.when_transition().assert_zero(b.next(PublicValuesAir.IS_FIRST))
         for i in range(N_PV_WORDS):
+            flag = b.public_value(4 * N_PV_WORDS + i)
+            b.when_first_row().assert_bool(flag)
+            for k in range(N_LIMBS):
+                # unrevealed word => zero limbs
+                b.when_first_row().assert_zero(
+                    b.mul(b.sub(b.constant(1), flag),
+                          b.public_value(4 * i + k)))
             b.push_receive(
                 PV_BUS,
                 [b.constant(i)]
                 + [b.public_value(4 * i + k) for k in range(N_LIMBS)],
-                is_first,
+                b.mul(is_first, flag),
             )
 
 
@@ -1905,11 +1913,9 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         rows[name].append(row)
         st.fin_pc, st.fin_ts = next_pc, ts + TS_STRIDE
 
-    pv_present = 1 if any(st.pv_counts) else 0
-    if pv_present:
-        assert all(c == 1 for c in st.pv_counts), (
-            "every PV word must be revealed exactly once, got counts "
-            f"{st.pv_counts}")
+    assert all(c <= 1 for c in st.pv_counts), (
+        "each PV word may be revealed at most once, got counts "
+        f"{st.pv_counts}")
 
     out = []
     for name, air_cls, _kset, pad in _CHIPS:
@@ -1937,11 +1943,12 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     prog[:, ProgramAirV2.MULT] = exec_counts[:n_prog].astype(np.uint32)
     out.append((program_air, prog, []))
 
-    # public values chip
+    # public values chip: limbs + per-word reveal flags
     pv_tr = np.zeros((4, PublicValuesAir.width), dtype=np.uint32)
-    pv_tr[0, PublicValuesAir.IS_FIRST] = pv_present
+    pv_tr[0, PublicValuesAir.IS_FIRST] = 1
     pv_list = [limb for w in st.pv_words for limb in _limbs(w)]
-    out.append((PublicValuesAir(), pv_tr, pv_list + [pv_present]))
+    pv_flags = [int(c) for c in st.pv_counts]
+    out.append((PublicValuesAir(), pv_tr, pv_list + pv_flags))
 
     if core_only:
         return out, st
