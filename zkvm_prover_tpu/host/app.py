@@ -36,24 +36,54 @@ class CircuitApp:
         """AIR definitions, in instance order (the verifier's 'program')."""
         raise NotImplementedError
 
+    def airs_for_meta(self, meta) -> list:
+        """AIR list for verifying a proof with the given per-AIR meta
+        (apps whose preprocessed schedules depend on trace heights
+        override this)."""
+        return self.airs()
+
     # commitments: the app "vk" (exe/vm commitment analog,
-    # crates/prover/src/prover/mod.rs:129-174). Derived from the program
-    # definition so any change to the circuit changes the commitment.
+    # crates/prover/src/prover/mod.rs:129-174). exe_commit binds the
+    # verifier-known program content (preprocessed traces — the ROM);
+    # vm_commit binds the constraint system structure (every constraint,
+    # constant, selector, and bus interaction, via the symbolic serializer).
+    # Changing any constraint or ROM word changes the vk.
     def exe_commit(self) -> bytes:
-        tag = f"zkvm-prover-tpu/app/{self.name}/exe/{self.describe()}"
-        return hashlib.sha256(tag.encode()).digest()
+        h = hashlib.sha256(f"zkvm-prover-tpu/exe/{self.name}".encode())
+        for air in self.airs():
+            pre = air.preprocessed_trace()
+            if pre is None:
+                h.update(b"\x00")
+            else:
+                import numpy as np
+
+                h.update(np.ascontiguousarray(
+                    np.asarray(pre, dtype=np.uint32)).tobytes())
+        return h.digest()
 
     def vm_commit(self) -> bytes:
-        tag = f"zkvm-prover-tpu/app/{self.name}/vm/{self.describe()}"
-        return hashlib.sha256(tag.encode()).digest()
+        from ..models.symbolic import serialize_air
+
+        h = hashlib.sha256(f"zkvm-prover-tpu/vm/{self.name}".encode())
+        for air in self.airs():
+            felts = serialize_air(air)
+            h.update(len(felts).to_bytes(4, "little"))
+            for v in felts:
+                h.update(int(v).to_bytes(4, "little"))
+        return h.digest()
 
     def describe(self) -> str:
         return ",".join(type(a).__name__ for a in self.airs())
 
     def vk_bytes(self) -> bytes:
         """64-byte app vk: exe commit || vm commit (serialize_vk analog,
-        crates/types/src/utils.rs:51-85)."""
-        return self.exe_commit() + self.vm_commit()
+        crates/types/src/utils.rs:51-85). Cached per app class."""
+        cls = type(self)
+        cached = cls.__dict__.get("_vk_cached")
+        if cached is None:
+            cached = self.exe_commit() + self.vm_commit()
+            cls._vk_cached = cached
+        return cached
 
     def pi_hash_from_meta(self, metas) -> bytes:
         """Recompute the revealed PI hash from the per-AIR public values
@@ -122,3 +152,18 @@ def register_app(cls) -> None:
 
 def get_app(name: str) -> CircuitApp:
     return _REGISTRY[name]()
+
+
+_VK_CACHE: Dict[bytes, str] = {}
+
+
+def app_for_vk(vk: bytes):
+    """Resolve a registered app from its 64-byte vk (None if unknown)."""
+    if vk in _VK_CACHE:
+        return get_app(_VK_CACHE[vk])
+    for name in _REGISTRY:
+        cand = get_app(name)
+        if cand.vk_bytes() == vk:
+            _VK_CACHE[vk] = name
+            return cand
+    return None

@@ -33,6 +33,35 @@ class StarkProofStat:
 
 
 @dataclass
+class AggChildRecord:
+    """Untrusted hints about one in-circuit-verified child proof: which app
+    (by vk), its trace heights, and its public values. All of it is bound
+    by the node digest carried in the machine proof's PublicBindAir public
+    values — the verifier recomputes the digest from these hints and the
+    registered app's circuit, so lying about any field fails verification.
+    Deferral-shaped (crates/integration/src/lib.rs:461-514 input_commits)."""
+
+    vk: bytes
+    log_ns: List[int]
+    pvs: List[int]
+
+    def to_dict(self):
+        return {
+            "vk": self.vk.hex(),
+            "log_ns": list(self.log_ns),
+            "pvs": [int(v) for v in self.pvs],
+        }
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(
+            vk=bytes.fromhex(d["vk"]),
+            log_ns=[int(v) for v in d["log_ns"]],
+            pvs=[int(v) for v in d["pvs"]],
+        )
+
+
+@dataclass
 class StarkProof:
     """Envelope around the encoded machine ("root") proof."""
 
@@ -41,16 +70,23 @@ class StarkProof:
     baseline: bytes = b""               # verification baseline (v2+)
     deferral_merkle_proofs: bytes = b""
     stat: StarkProofStat = field(default_factory=StarkProofStat)
+    # verifier-in-circuit aggregation (empty for leaf-level app proofs)
+    agg_children: List[AggChildRecord] = field(default_factory=list)
+    input_commits: List[bytes] = field(default_factory=list)
 
     def to_dict(self):
         b64 = lambda b: base64.b64encode(b).decode()
-        return {
+        d = {
             "proof": b64(self.proof),
             "user_pvs_proof": b64(self.user_pvs_proof),
             "baseline": b64(self.baseline),
             "deferral_merkle_proofs": b64(self.deferral_merkle_proofs),
             "stat": self.stat.to_dict(),
         }
+        if self.agg_children:
+            d["agg_children"] = [c.to_dict() for c in self.agg_children]
+            d["input_commits"] = [c.hex() for c in self.input_commits]
+        return d
 
     @classmethod
     def from_dict(cls, d):
@@ -61,6 +97,13 @@ class StarkProof:
             baseline=u64(d.get("baseline", "")),
             deferral_merkle_proofs=u64(d.get("deferral_merkle_proofs", "")),
             stat=StarkProofStat.from_dict(d.get("stat", {})),
+            agg_children=[
+                AggChildRecord.from_dict(c)
+                for c in d.get("agg_children", [])
+            ],
+            input_commits=[
+                bytes.fromhex(c) for c in d.get("input_commits", [])
+            ],
         )
 
     def public_values(self) -> List[int]:

@@ -32,6 +32,15 @@ class ProverConfig:
     cache_dir: Optional[str] = None
     stark: StarkConfig = field(default_factory=StarkConfig)
     segment_len: Optional[int] = None  # continuation segmentation (later)
+    # How aggregated child proofs are checked (the engine-switch analog of
+    # the reference's cpu/cuda feature, prover/mod.rs:27-39):
+    #   "in-circuit": children are verified INSIDE this proof's constraint
+    #       system (wire-circuit verifier; no host pre-check) — production.
+    #   "host": children are verified by the host before proving and the
+    #       envelope carries no aggregation claim — the test-tier shortcut
+    #       mirroring the reference harness's execute-tier fake-proof
+    #       commitments (SURVEY.md §4).
+    child_verification: str = "in-circuit"
 
 
 class Prover:
@@ -86,19 +95,65 @@ class Prover:
                 f"task vk mismatch for app {self.app.name}"
             )
 
-        # verify aggregated child proofs before spending proving time — the
-        # host side of the reference's deferral data computation
-        # (crates/integration/src/lib.rs:461-514); the in-circuit deferred
-        # verification arrives with recursion (ROADMAP Phase 5)
-        from .verifier import UniversalVerifier
-
-        for child in task.aggregated_proofs:
-            if not UniversalVerifier.verify_stark_proof_with_vk(
-                child.baseline, child, self.config.stark
-            ):
-                raise ProverError("aggregated child proof failed verification")
-
         instances, pi_hash, exec_ms = self.execute_and_check(task)
+
+        # Aggregated child proofs are verified IN-CIRCUIT: the machine
+        # gains wire-circuit instances that replay each child's transcript,
+        # OOD check, Merkle openings, FRI folds and PoW, and bind a digest
+        # over (child vk, child PVs) into this proof's public values. No
+        # host-side pre-verification — an invalid child makes this proof
+        # fail verification. Reference: in-guest verify_stark
+        # (crates/types/circuit/src/lib.rs:138-154).
+        agg_children: list = []
+        input_commits: list = []
+        if task.aggregated_proofs and \
+                self.config.child_verification == "host":
+            # test-tier shortcut: host-verify children, no in-circuit claim
+            from .verifier import UniversalVerifier
+
+            for child in task.aggregated_proofs:
+                if not UniversalVerifier.verify_stark_proof_with_vk(
+                    child.baseline, child, self.config.stark
+                ):
+                    raise ProverError(
+                        "aggregated child proof failed host verification"
+                    )
+        elif task.aggregated_proofs:
+            from ..models.poseidon2_air import Poseidon2Air
+            from ..recursion.aggregation import (
+                TAG_LEAF,
+                ChildSlot,
+                build_child_verification,
+                input_commit,
+            )
+            from ..recursion.stark_verifier import RealOracle
+            from .app import app_for_vk
+            from .proof_types import AggChildRecord
+
+            assert not any(
+                isinstance(i.air, Poseidon2Air) for i in instances
+            ), "app machine already carries a Poseidon2 table"
+            slots, oracles = [], []
+            for child in task.aggregated_proofs:
+                child_app = app_for_vk(child.baseline)
+                if child_app is None:
+                    raise ProverError("unknown child app vk")
+                mp = serialization.decode_machine_proof(child.proof)
+                log_ns = [ln for (ln, _, _) in mp.meta]
+                slot = ChildSlot(
+                    child_app.airs(), log_ns, self.config.stark
+                )
+                slots.append(slot)
+                oracles.append(RealOracle(mp))
+                pvs = [v for (_, _, p) in mp.meta for v in p]
+                input_commits.append(input_commit(slot.vk_words, pvs))
+                agg_children.append(AggChildRecord(
+                    vk=child.baseline, log_ns=log_ns, pvs=pvs
+                ))
+            instances = list(instances) + build_child_verification(
+                TAG_LEAF, slots, oracles
+            )
+
         t0 = time.time()
         mproof = machine.prove_machine(instances, self.config.stark)
         proving_ms = (time.time() - t0) * 1e3
@@ -113,6 +168,8 @@ class Prover:
                 execution_time_mills=int(exec_ms),
                 proving_time_mills=int(proving_ms),
             ),
+            agg_children=agg_children,
+            input_commits=input_commits,
         )
 
         # self-verify before returning (prover/mod.rs:407-411)

@@ -9,6 +9,8 @@ import json
 from pathlib import Path
 from typing import Optional
 
+import numpy as np
+
 from ..stark import machine
 from ..stark.config import StarkConfig
 from . import serialization
@@ -61,12 +63,50 @@ class UniversalVerifier:
             mproof = serialization.decode_machine_proof(proof.proof)
         except Exception:
             return False
+        stark = stark or StarkConfig()
+        airs = app.airs_for_meta(mproof.meta)
+        n_app = len(airs)
         # bind the revealed PI hash to the public values inside the proof
-        if app.pi_hash_from_meta(mproof.meta) != proof.user_pvs_proof:
+        if app.pi_hash_from_meta(mproof.meta[:n_app]) != proof.user_pvs_proof:
             return False
-        return machine.verify_machine(
-            app.airs(), mproof, stark or StarkConfig()
-        )
+
+        # verifier-in-circuit aggregation: rebuild the wire verification
+        # program from the claimed children (registered app circuits at the
+        # claimed heights) and pin the digest over (child vk, child PVs).
+        # Everything in agg_children is an untrusted hint — a mismatch in
+        # app, heights, or PVs fails either the digest pin or the machine
+        # verification against the rebuilt preprocessed program.
+        if proof.agg_children:
+            from ..recursion.aggregation import (
+                TAG_LEAF,
+                ChildSlot,
+                child_verification_airs,
+                digest_bytes,
+                node_digest_words,
+            )
+            from .app import app_for_vk
+
+            slots = []
+            children = []
+            for rec in proof.agg_children:
+                child_app = app_for_vk(rec.vk)
+                if child_app is None:
+                    return False
+                slot = ChildSlot(child_app.airs(), rec.log_ns, stark)
+                slots.append(slot)
+                children.append((slot.vk_words, rec.pvs))
+            airs = airs + child_verification_airs(TAG_LEAF, slots)
+            if len(mproof.meta) != len(airs):
+                return False
+            # PublicBindAir is the third wire AIR (n_app + 2)
+            (_, _, digest_pvs) = mproof.meta[n_app + 2]
+            expected = digest_bytes(node_digest_words(TAG_LEAF, children))
+            if digest_bytes(
+                np.array(digest_pvs, dtype=np.uint32)
+            ) != expected:
+                return False
+
+        return machine.verify_machine(airs, mproof, stark)
 
     def verify_evm_proof(self, proof: EvmProof) -> bool:
         raise NotImplementedError(
