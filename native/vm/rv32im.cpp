@@ -18,6 +18,9 @@
 //       1 = HINT_READ: read next hint byte stream word into a0 (from the
 //           host-provided hint buffer; the openvm hint-stream analog)
 //       2 = REVEAL: public_values[a1] = a0 (indexed, openvm reveal analog)
+//       3 = KECCAK256: digest of mem[a0 .. a0+a1) written to mem[a2 .. a2+32)
+//           (the openvm keccak extension analog; proven by KeccakVmAir +
+//           KeccakfAir on the AIR side)
 //   - segmentation: execution stops after `max_cycles` with state
 //     PAUSED so the host can snapshot boundary state (continuations).
 
@@ -102,6 +105,66 @@ struct Machine {
 inline int32_t sext(uint32_t v, int bits) {
   int shift = 32 - bits;
   return ((int32_t)(v << shift)) >> shift;
+}
+
+// ---- keccak-256 (Ethereum padding 0x01...0x80), for the a7=3 syscall ----
+constexpr uint64_t KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+constexpr int KECCAK_ROT[5][5] = {{0, 36, 3, 41, 18},
+                                  {1, 44, 10, 45, 2},
+                                  {62, 6, 43, 15, 61},
+                                  {28, 55, 25, 21, 56},
+                                  {27, 20, 39, 8, 14}};
+
+inline uint64_t rotl64(uint64_t v, int n) {
+  return n ? ((v << n) | (v >> (64 - n))) : v;
+}
+
+void keccak_f1600(uint64_t a[25]) {
+  for (int r = 0; r < 24; r++) {
+    uint64_t c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int i = 0; i < 25; i++) a[i] ^= d[i % 5];
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y],
+                                                  KECCAK_ROT[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x + 5 * y] =
+            b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[r];
+  }
+}
+
+void keccak256(const uint8_t *msg, size_t len, uint8_t out[32]) {
+  constexpr size_t RATE = 136;
+  uint64_t state[25] = {0};
+  size_t nblocks = len / RATE + 1;
+  for (size_t blk = 0; blk < nblocks; blk++) {
+    uint8_t block[RATE] = {0};
+    size_t off = blk * RATE;
+    size_t take = (off < len) ? ((len - off < RATE) ? len - off : RATE) : 0;
+    std::memcpy(block, msg + off, take);
+    if (blk == nblocks - 1) {
+      block[take] ^= 0x01;
+      block[RATE - 1] ^= 0x80;
+    }
+    for (size_t i = 0; i < RATE; i++)
+      state[i / 8] ^= ((uint64_t)block[i]) << (8 * (i % 8));
+    keccak_f1600(state);
+  }
+  for (int i = 0; i < 32; i++) out[i] = (state[i / 8] >> (8 * (i % 8))) & 0xff;
 }
 
 // Execute one instruction; returns false if execution should stop.
@@ -274,6 +337,15 @@ bool step(Machine &m) {
         if (idx >= m.public_values.size())
           m.public_values.resize(idx + 1, 0);
         m.public_values[idx] = a0;
+      } else if (a7 == 3) { // KECCAK256(mem[a0..a0+a1)) -> mem[a2..a2+32)
+        uint32_t ptr = a0, len = m.regs[11], out_ptr = m.regs[12];
+        std::vector<uint8_t> msg(len);
+        if (len) m.touch(ptr, len);
+        for (uint32_t i = 0; i < len; i++) msg[i] = m.load8(ptr + i);
+        uint8_t digest[32];
+        keccak256(msg.data(), len, digest);
+        m.touch(out_ptr, 32);
+        for (int i = 0; i < 32; i++) m.store8(out_ptr + i, digest[i]);
       } else {
         m.state = 3;
         return false;

@@ -1,14 +1,21 @@
 """Scroll circuit apps: chunk/batch/bundle proving tasks through the host
-Prover.
+Prover, with the PI hash computed INSIDE the rv32 VM.
 
-Each app runs the corresponding circuit program (zkvm_prover_tpu.circuits)
-to derive the PI hash, and binds the revealed 32 bytes into a machine proof
-via `PublicValuesAir`. Until the rv32 chipset covers the guest programs'
-full instruction needs (ROADMAP Phase 4), the witness *computation* is a
-host-trusted stand-in — exactly the reference integration harness's
-"fake proof commitments" execute-tier (SURVEY.md §4) — while the proof
-plumbing (tasks, envelopes, aggregation inputs, caches, vk guards) is the
-production path.
+Round-3 upgrade over the round-2 `PublicValuesAir` stand-in: each app now
+executes the hash-reveal guest (vm/guests.py) on the native rv32 executor
+and proves the full v2 machine — CPU chips, keccak syscall chips
+(KeccakVmAir + KeccakfAir), program ROM, offline-checked registers/RAM,
+byte/xor tables — with the witness's PI preimage entering through the hint
+stream and the keccak-256 digest revealed as the proof's public values
+(reference flow: crates/circuits/chunk-circuit/src/main.rs:14-29,
+read -> compute -> reveal_pi_hash).
+
+Remaining host-trusted stand-in (documented divergence, ROADMAP Phase 6):
+the witness -> PI-preimage computation (block execution / DA decoding /
+fold) runs host-side, exactly the reference integration harness's
+execute-tier "fake proof commitments" (SURVEY.md §4). What the machine
+proof now attests: the guest ROM (bound by the exe commitment) read SOME
+hinted byte stream and revealed its true keccak-256 digest.
 """
 
 from __future__ import annotations
@@ -18,61 +25,91 @@ import numpy as np
 from ..circuits.batch_circuit import BatchCircuit, BatchCircuitWitness
 from ..circuits.bundle_circuit import BundleCircuit
 from ..circuits.chunk_circuit import ChunkCircuit
-from ..models.air import Air, AirBuilder
+from ..models import rv32_v2
+from ..models.keccak_air import KeccakfAir
+from ..models.keccak_vm import KeccakVmAir
+from ..models.rv32_v0 import ByteTableAir, MemoryBoundaryAir
 from ..ops.keccak import keccak256
 from ..stark.machine import AirInstance
+from ..vm import guests
+from ..vm.executor import HALTED, Rv32Executor
 from .app import CircuitApp, register_app
 from .task import ProvingTask
 
-
-class PublicValuesAir(Air):
-    """Binds 32 revealed bytes into the proof: row 0 holds the bytes as
-    columns, constrained equal to the public values.
-
-    Stand-in for in-VM reveal (openvm reveal_bytes32); the *computation*
-    producing the bytes is proven once the guest programs run on the rv32
-    chipset.
-    """
-
-    width = 32
-    num_public_values = 32
-
-    def eval(self, b: AirBuilder) -> None:
-        for i in range(32):
-            b.when_first_row().assert_eq(b.local(i), b.public_value(i))
-
-    @staticmethod
-    def trace_for(pi_hash: bytes) -> np.ndarray:
-        assert len(pi_hash) == 32
-        t = np.zeros((4, 32), dtype=np.uint32)
-        t[0, :] = np.frombuffer(pi_hash, dtype=np.uint8)
-        return t
+# instance order produced by rv32_v2.generate_traces for a keccak-using
+# guest (fixed composition; heights vary with the witness)
+KECCAKF_IDX = 9
+PV_IDX = 11
+N_MACHINE_AIRS = 17
 
 
-class _ScrollCircuitApp(CircuitApp):
+class _VmHashApp(CircuitApp):
+    """App whose machine is the rv32 VM running the hash-reveal guest."""
+
     circuit = None  # subclass sets
-
-    def airs(self):
-        return [PublicValuesAir()]
+    MAX_CYCLES = 1 << 16
 
     def _witness_from_task(self, task: ProvingTask):
         raise NotImplementedError
 
+    def program(self):
+        cls = type(self)
+        prog = cls.__dict__.get("_prog_cached")
+        if prog is None:
+            prog = guests.hash_reveal_program()
+            cls._prog_cached = prog
+        return prog
+
+    def airs(self):
+        return self.airs_for_meta(None)
+
+    def airs_for_meta(self, meta):
+        """AIR list matching generate_traces output order; KeccakfAir's
+        preprocessed schedule depends on its height, read from `meta`."""
+        kec_log_n = 5
+        if meta is not None:
+            assert len(meta) >= N_MACHINE_AIRS, "not a VM machine proof"
+            kec_log_n = meta[KECCAKF_IDX][0]
+        return [
+            rv32_v2.AluAir(), rv32_v2.ShiftAir(), rv32_v2.BranchAir(),
+            rv32_v2.JumpAir(), rv32_v2.LoadStoreAir(), rv32_v2.MulAir(),
+            rv32_v2.DivRemAir(), rv32_v2.SystemAir(),
+            KeccakVmAir(), KeccakfAir(log_n=kec_log_n),
+            rv32_v2.ProgramAirV2(self.program()),
+            rv32_v2.PublicValuesAir(),
+            rv32_v2.ExecBoundaryAirV2(), rv32_v2.RamBoundaryAirV2(),
+            MemoryBoundaryAir(), ByteTableAir(), rv32_v2.XorTableAir(),
+        ]
+
     def execute(self, task: ProvingTask):
         witness = self._witness_from_task(task)
-        pi_hash = self.circuit.pi_hash(witness)
-        pvs = [int(b) for b in pi_hash]
-        return (
-            [AirInstance(PublicValuesAir(), PublicValuesAir.trace_for(pi_hash), pvs)],
-            pi_hash,
+        pi, version = self.circuit.validate(witness)
+        preimage = pi.pi_by_version(version)
+
+        prog = self.program()
+        ex = Rv32Executor()
+        ex.load_program(prog)
+        ex.set_hints(guests.hash_hints(preimage))
+        state = ex.run(self.MAX_CYCLES)
+        assert state == HALTED, f"guest did not halt (state={state})"
+        air_traces = rv32_v2.generate_traces(
+            prog, ex.records(), data_base=guests.DATA_BASE)
+        instances = [AirInstance(a, t, p) for a, t, p in air_traces]
+
+        pi_hash = b"".join(
+            int(w).to_bytes(4, "little") for w in ex.public_values()
         )
+        assert pi_hash == keccak256(preimage), "guest/host digest mismatch"
+        return instances, pi_hash
 
     def pi_hash_from_meta(self, metas) -> bytes:
-        (_, _, pvs) = metas[0]
-        return bytes(v & 0xFF for v in pvs)
+        (_, _, pvs) = metas[PV_IDX]
+        n = rv32_v2.N_PV_WORDS
+        assert list(pvs[4 * n :]) == [1] * n, "all PV words must be revealed"
+        return bytes(int(v) & 0xFF for v in pvs[: 4 * n])
 
 
-class ChunkApp(_ScrollCircuitApp):
+class ChunkApp(_VmHashApp):
     name = "chunk"
     circuit = ChunkCircuit
 
@@ -80,7 +117,7 @@ class ChunkApp(_ScrollCircuitApp):
         return ChunkCircuit.deserialize_witness(task.serialized_witness[0])
 
 
-class BatchApp(_ScrollCircuitApp):
+class BatchApp(_VmHashApp):
     name = "batch"
     circuit = BatchCircuit
 
@@ -91,7 +128,7 @@ class BatchApp(_ScrollCircuitApp):
         return BatchCircuitWitness(inner=inner, chunk_proofs=chunk_proofs)
 
 
-class BundleApp(_ScrollCircuitApp):
+class BundleApp(_VmHashApp):
     name = "bundle"
     circuit = BundleCircuit
 

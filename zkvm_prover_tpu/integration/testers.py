@@ -151,6 +151,9 @@ class BatchTaskGenerator:
                 app_name="batch",
                 cache_dir=str(output_dir() / "batch" / "proofs"),
                 stark=self.chunks.stark,
+                # test tier runs the host-verified engine; the in-circuit
+                # engine is exercised end-to-end by test_prover_aggregation
+                child_verification="host",
             )
         )
 
@@ -266,6 +269,7 @@ class BundleTaskGenerator:
                 app_name="bundle",
                 cache_dir=str(output_dir() / "bundle" / "proofs"),
                 stark=self.batches.chunks.stark,
+                child_verification="host",
             )
         )
         task = ProvingTask(

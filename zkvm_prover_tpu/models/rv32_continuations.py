@@ -172,13 +172,12 @@ class MemoryBoundaryAirV3(Air):
     IS_REAL = 0
     IS_REG = 1
     LEAF = 2
-    ADDR = 3          # 4 limbs (RAM rows)
-    INIT_VAL = 7      # 4
-    FINAL_VAL = 11    # 4
-    FINAL_TS = 15
-    OFF_LO = 16
-    OFF_HI = 17
-    width = 18
+    INIT_VAL = 3      # 4
+    FINAL_VAL = 7     # 4
+    FINAL_TS = 11
+    OFF_LO = 12
+    OFF_HI = 13
+    width = 14
     num_public_values = 0
 
     def __init__(self, data_base: int = 0x2000):
@@ -197,7 +196,6 @@ class MemoryBoundaryAirV3(Air):
         init = [b.local(C.INIT_VAL + k) for k in range(N_LIMBS)]
         fin = [b.local(C.FINAL_VAL + k) for k in range(N_LIMBS)]
         fin_ts = b.local(C.FINAL_TS)
-        addr = [b.local(C.ADDR + k) for k in range(N_LIMBS)]
         zero = b.constant(0)
 
         # registers: leaf < 32
@@ -205,25 +203,17 @@ class MemoryBoundaryAirV3(Air):
         b.push_send(REG_BUS, [leaf, zero] + init, is_reg)
         b.push_receive(REG_BUS, [leaf, fin_ts] + fin, is_reg)
 
-        # RAM: addr = data_base + 4*(leaf - 32), offset < 2^16
+        # RAM: single-felt addr = data_base + 4*(leaf - 32), offset < 2^16
         lo, hi = b.local(C.OFF_LO), b.local(C.OFF_HI)
         off = b.add(lo, b.mul(b.constant(256), hi))
         b.push_send(BYTE_BUS, [lo], is_ram)
         b.push_send(BYTE_BUS, [hi], is_ram)
-        for k in range(N_LIMBS):
-            b.push_send(BYTE_BUS, [addr[k]], is_ram)
-        addr_val = addr[0]
-        for k in range(1, N_LIMBS):
-            addr_val = b.add(addr_val, b.mul(b.constant(1 << (8 * k)),
-                                             addr[k]))
         b.assert_zero(b.mul(is_ram, b.sub(leaf, b.add(off, b.constant(
             N_REG_LEAVES)))))
-        b.assert_zero(b.mul(is_ram, b.sub(
-            addr_val,
-            b.add(b.constant(self.data_base),
-                  b.mul(b.constant(4), off)))))
-        b.push_send(MEM_BUS, addr + [zero] + init, is_ram)
-        b.push_receive(MEM_BUS, addr + [fin_ts] + fin, is_ram)
+        addr_val = b.add(b.constant(self.data_base),
+                         b.mul(b.constant(4), off))
+        b.push_send(MEM_BUS, [addr_val, zero] + init, is_ram)
+        b.push_receive(MEM_BUS, [addr_val, fin_ts] + fin, is_ram)
 
         # level-0 Merkle leaf update
         b.push_send(
@@ -515,8 +505,6 @@ def generate_segment_traces(program_words, seg: SegmentWitness,
         row[B.OFF_LO], row[B.OFF_HI] = off & 0xFF, off >> 8
         st.bcheck(off & 0xFF)
         st.bcheck(off >> 8)
-        for k, v in enumerate(_limbs(addr)):
-            row[B.ADDR + k] = st.bcheck(v)
         row[B.INIT_VAL:B.INIT_VAL + 4] = _limbs(init_ram[addr])
         row[B.FINAL_VAL:B.FINAL_VAL + 4] = _limbs(fval)
         row[B.FINAL_TS] = fts

@@ -28,10 +28,15 @@ cycles). Comparisons use a borrow-chain less-than with the sign-flip trick
 (x <s y  <=>  x^0x80000000 <u y^0x80000000) so one chain serves signed and
 unsigned. All constraints are degree <= 3 (air.MAX_DEGREE).
 
-v2 limitations (ROADMAP Phase 4): rd != x0 for writes; RAM initially zero at
-touched addresses above the program image; ECALL (halt/reveal/hint) rows are
-not proven yet (the chain closes just before them) — the public-values chip
-is the next milestone.
+ECALL rows are proven by SystemAir (HALT / HINT_READ / REVEAL / KECCAK256);
+REVEAL rows bind words into PublicValuesAir via PV_BUS (per-word reveal
+flags, partial reveals sound); KECCAK256 hands off to KeccakVmAir +
+KeccakfAir (keccak_vm.py / keccak_air.py — the openvm keccak extension
+analog).
+
+v2 limitations (ROADMAP Phase 4): rd != x0 for writes; RAM initially zero
+at touched addresses above the program image; keccak buffers word-aligned
+below 2^16.
 """
 
 from __future__ import annotations
@@ -53,6 +58,7 @@ EXEC_BUS = 25
 MEM_BUS = 26
 XOR_BUS = 27
 PV_BUS = 28
+KECCAK_REQ_BUS = 42   # SystemAir keccak syscall -> KeccakVmAir handoff
 
 N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
 #                 = 32 bytes, crates/types/base/src/aggregation.rs)
@@ -658,12 +664,19 @@ class LoadStoreAir(Air):
         b.assert_zero(b.mul(f[K_SH], b.sub(
             wn[3], b.add(w[3], b.mul(i_[2], b.sub(src[1], w[3]))))))
 
-        # RAM bus (word-addressed: aligned byte address limbs)
-        waddr = [b.sub(addr[0], ofs), addr[1], addr[2], addr[3]]
+        # RAM bus — word-addressed, single-felt address key. The felt
+        # encoding is injective because addr < 2^31 - 2^27 < P, enforced by
+        # the addr3 + 136 byte check below (addresses >= 0x78000000 are
+        # unsupported).
+        waddr_f = b.sub(addr[0], ofs)
+        for k in range(1, N_LIMBS):
+            waddr_f = b.add(waddr_f, b.mul(b.constant(1 << (8 * k)),
+                                           addr[k]))
+        b.push_send(BYTE_BUS, [b.add(addr[3], b.constant(136))], real)
         mts = b.local(C.MEM_PREV_TS)
         cur_ts = b.add(ts, b.constant(3))
-        b.push_receive(MEM_BUS, waddr + [mts] + w, real)
-        b.push_send(MEM_BUS, waddr + [cur_ts] + wn, real)
+        b.push_receive(MEM_BUS, [waddr_f, mts] + w, real)
+        b.push_send(MEM_BUS, [waddr_f, cur_ts] + wn, real)
         mdiff = b.sub(b.sub(cur_ts, mts), one)
         recon = b.add(b.local(C.MDIFF),
                       b.mul(c256, b.local(C.MDIFF + 1)))
@@ -1072,20 +1085,23 @@ class DivRemAir(Air):
 
 
 class SystemAir(Air):
-    F_HALT, F_HINT, F_REVEAL = 3, 4, 5
-    A7_PREV_TS = 6
-    A7_D = 7                     # 2 ts-diff bytes
-    A0_VAL = 9                   # 4 (read port: halt exit code / reveal word)
-    A0_PREV_TS = 13
-    A0_D = 14                    # 2
-    H_VAL = 16                   # 4 (hint write: new a0)
-    H_PREV_VAL = 20              # 4
-    H_PREV_TS = 24
-    H_D = 25                     # 2
-    A1_VAL = 27                  # 4 (reveal index register)
-    A1_PREV_TS = 31
-    A1_D = 32                    # 2
-    width = 34
+    F_HALT, F_HINT, F_REVEAL, F_KECCAK = 3, 4, 5, 6
+    A7_PREV_TS = 7
+    A7_D = 8                     # 2 ts-diff bytes
+    A0_VAL = 10                  # 4 (read: halt code / reveal word / msg ptr)
+    A0_PREV_TS = 14
+    A0_D = 15                    # 2
+    H_VAL = 17                   # 4 (hint write: new a0)
+    H_PREV_VAL = 21              # 4
+    H_PREV_TS = 25
+    H_D = 26                     # 2
+    A1_VAL = 28                  # 4 (reveal index / keccak msg length)
+    A1_PREV_TS = 32
+    A1_D = 33                    # 2
+    A2_VAL = 35                  # 4 (keccak output pointer)
+    A2_PREV_TS = 39
+    A2_D = 40                    # 2
+    width = 42
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
@@ -1097,17 +1113,21 @@ class SystemAir(Air):
         f_halt = b.local(C.F_HALT)
         f_hint = b.local(C.F_HINT)
         f_rev = b.local(C.F_REVEAL)
+        f_kec = b.local(C.F_KECCAK)
         b.assert_bool(real)
-        for f in (f_halt, f_hint, f_rev):
+        for f in (f_halt, f_hint, f_rev, f_kec):
             b.assert_bool(f)
-        b.assert_eq(b.add(f_halt, b.add(f_hint, f_rev)), real)
+        b.assert_eq(b.add(b.add(f_halt, f_hint), b.add(f_rev, f_kec)),
+                    real)
 
         zero = b.constant(0)
         b.push_send(PROGRAM_BUS,
                     [pc, b.constant(K_ECALL + 1), zero, zero, zero,
                      zero, zero, zero, zero, zero], real)
 
-        # exec bus: halt consumes the chain; hint/reveal continue at pc+4
+        # exec bus: halt consumes the chain; hint/reveal continue at pc+4;
+        # keccak's continuation is sent by KeccakVmAir's final block row
+        # (which owns the instruction's timestamp window).
         b.push_receive(EXEC_BUS, [pc, ts], real)
         b.push_send(EXEC_BUS,
                     [b.add(pc, b.constant(4)),
@@ -1128,16 +1148,19 @@ class SystemAir(Air):
             b.push_send(BYTE_BUS, [b.local(d_col)], mult)
             b.push_send(BYTE_BUS, [b.local(d_col + 1)], mult)
 
-        # a7 (x17) read at ts: value is the syscall id (0/1/2 by flag)
-        a7 = [b.add(f_hint, b.mul(b.constant(2), f_rev)), zero, zero, zero]
+        # a7 (x17) read at ts: value is the syscall id (0/1/2/3 by flag)
+        a7 = [b.add(b.add(f_hint, b.mul(b.constant(2), f_rev)),
+                    b.mul(b.constant(3), f_kec)), zero, zero, zero]
         port(17, C.A7_PREV_TS, ts, C.A7_D, a7, a7, real)
 
-        # a0 (x10) read at ts+1 for halt (exit code, must be 0) and reveal
+        # a0 (x10) read at ts+1: halt exit code / reveal word / keccak ptr
         a0 = [b.local(C.A0_VAL + k) for k in range(N_LIMBS)]
-        m0 = b.add(f_halt, f_rev)
+        m0 = b.add(f_halt, b.add(f_rev, f_kec))
         port(10, C.A0_PREV_TS, b.add(ts, one), C.A0_D, a0, a0, m0)
         for k in range(N_LIMBS):
             b.assert_zero(b.mul(f_halt, a0[k]))
+        for k in (2, 3):  # keccak msg ptr < 2^16
+            b.assert_zero(b.mul(f_kec, a0[k]))
 
         # a0 (x10) write at ts+1 for hint (host-chosen word)
         hv = [b.local(C.H_VAL + k) for k in range(N_LIMBS)]
@@ -1146,14 +1169,28 @@ class SystemAir(Air):
         for k in range(N_LIMBS):
             b.push_send(BYTE_BUS, [hv[k]], f_hint)
 
-        # a1 (x11) read at ts+2 for reveal (PV index, single byte)
+        # a1 (x11) read at ts+2: reveal PV index / keccak msg length
         a1 = [b.local(C.A1_VAL + k) for k in range(N_LIMBS)]
         port(11, C.A1_PREV_TS, b.add(ts, b.constant(2)), C.A1_D, a1, a1,
-             f_rev)
+             b.add(f_rev, f_kec))
         for k in range(1, N_LIMBS):
             b.assert_zero(b.mul(f_rev, a1[k]))
+        for k in (2, 3):  # keccak msg length < 2^16
+            b.assert_zero(b.mul(f_kec, a1[k]))
 
         b.push_send(PV_BUS, [a1[0]] + a0, f_rev)
+
+        # a2 (x12) read at ts+3: keccak output pointer (< 2^16)
+        a2 = [b.local(C.A2_VAL + k) for k in range(N_LIMBS)]
+        port(12, C.A2_PREV_TS, b.add(ts, b.constant(3)), C.A2_D, a2, a2,
+             f_kec)
+        for k in (2, 3):
+            b.assert_zero(b.mul(f_kec, a2[k]))
+
+        # hand the request to KeccakVmAir
+        b.push_send(KECCAK_REQ_BUS,
+                    [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1]],
+                    f_kec)
 
 
 class PublicValuesAir(Air):
@@ -1273,25 +1310,26 @@ class ExecBoundaryAirV2(Air):
 
 class RamBoundaryAirV2(Air):
     """Opens/closes the RAM chains per touched word address (initial value
-    zero: guest data must live above the program image)."""
+    zero: guest data must live above the program image). Addresses are
+    single-felt keys (LoadStoreAir bounds them < 2^31 - 2^27)."""
 
     B_IS_REAL = 0
-    B_ADDR = 1       # 4 limbs
-    B_FINAL_TS = 5
-    B_FINAL_VAL = 6  # 4
-    width = 10
+    B_ADDR = 1
+    B_FINAL_TS = 2
+    B_FINAL_VAL = 3  # 4
+    width = 7
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
         R_ = RamBoundaryAirV2
         real = b.local(R_.B_IS_REAL)
         b.assert_bool(real)
-        addr = [b.local(R_.B_ADDR + k) for k in range(N_LIMBS)]
+        addr = b.local(R_.B_ADDR)
         zero = b.constant(0)
-        b.push_send(MEM_BUS, addr + [zero, zero, zero, zero, zero], real)
+        b.push_send(MEM_BUS, [addr, zero, zero, zero, zero, zero], real)
         b.push_receive(
             MEM_BUS,
-            addr + [b.local(R_.B_FINAL_TS)]
+            [addr, b.local(R_.B_FINAL_TS)]
             + [b.local(R_.B_FINAL_VAL + k) for k in range(N_LIMBS)],
             real,
         )
@@ -1544,6 +1582,7 @@ def _fill_loadstore(row, st, kind, ts, rs1_v, rs2_v, rd_v, imm, mem_addr):
         row[C.CARRY + k] = carry
     for k, v in enumerate(_limbs(addr)):
         row[C.ADDR + k] = st.bcheck(v)
+    st.bcheck(_limbs(addr)[3] + 136)  # addr < 2^31 - 2^27 (felt-injective)
     row[C.Q0] = (addr & 0xFF) >> 2
     st.bcheck(4 * row[C.Q0])
     row[C.O0], row[C.O1] = ofs & 1, ofs >> 1
@@ -1780,13 +1819,15 @@ def _fill_divrem(row, st, kind, rs1_v, rs2_v, rd_v):
 
 
 def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
-    """ECALL row: variant from the tracked a7; returns next_pc or None for
-    halt (the exec chain closes on the halt row)."""
+    """ECALL row: variant from the tracked a7. Returns (next_pc, keccak)
+    where next_pc is None for halt and keccak is (ptr, len, out_ptr) for
+    a7=3 (the caller fills the KeccakVmAir block rows)."""
     C = SystemAir
     row[IS_REAL] = 1
     row[PC], row[TS] = pc, ts
     a0 = int(st.last_val[10])
     a1 = int(st.last_val[11])
+    a2 = int(st.last_val[12])
     a7 = int(st.last_val[17])
 
     def port(idx, prev_ts_col, cur_ts, d_col, new_val=None):
@@ -1804,7 +1845,7 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
         assert a0 == 0, "provable halt requires exit code 0"
         port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
         st.halted = True
-        return None
+        return None, None
     if a7 == 1:  # HINT_READ
         row[C.F_HINT] = 1
         for k, v in enumerate(_limbs(a0)):
@@ -1812,7 +1853,19 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
         for k, v in enumerate(_limbs(rd_val)):
             row[C.H_VAL + k] = st.bcheck(v)
         port(10, C.H_PREV_TS, ts + 1, C.H_D, new_val=rd_val)
-        return pc + 4
+        return pc + 4, None
+    if a7 == 3:  # KECCAK256
+        row[C.F_KECCAK] = 1
+        for k, v in enumerate(_limbs(a0)):
+            row[C.A0_VAL + k] = v
+        port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
+        for k, v in enumerate(_limbs(a1)):
+            row[C.A1_VAL + k] = v
+        port(11, C.A1_PREV_TS, ts + 2, C.A1_D)
+        for k, v in enumerate(_limbs(a2)):
+            row[C.A2_VAL + k] = v
+        port(12, C.A2_PREV_TS, ts + 3, C.A2_D)
+        return pc + 4, (a0, a1, a2)
     assert a7 == 2, f"unknown syscall a7={a7}"
     row[C.F_REVEAL] = 1
     for k, v in enumerate(_limbs(a0)):
@@ -1823,7 +1876,7 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
     port(11, C.A1_PREV_TS, ts + 2, C.A1_D)
     st.pv_words[a1] = a0
     st.pv_counts[a1] += 1
-    return pc + 4
+    return pc + 4, None
 
 
 _PAD_BRANCH = {BranchAir.IS_EQ: 1, BranchAir.NEXT_PC: 4}
@@ -1874,7 +1927,10 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             st.ram[int(a)] = (0, int(v))
     st.fin_pc = init_pc
     rows: Dict[str, list] = {name: [] for name, *_ in _CHIPS}
+    keccak_rows: list = []
+    keccak_states: list = []
 
+    ts_counter = 1  # running timestamp (keccak rows consume wide windows)
     for i in range(len(records)):
         pc, instr, rs1_v, rs2_v, rd_v, mem_addr, _ = (
             int(x) for x in records[i])
@@ -1882,14 +1938,24 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         name = CHIP_OF_KIND[kind]
         air_cls = dict((n, a) for n, a, *_ in _CHIPS)[name]
         row = np.zeros(air_cls.width, dtype=np.uint32)
-        ts = TS_STRIDE * i + 1
+        ts = ts_counter
+        ts_counter += TS_STRIDE
         if name == "system":
             assert not st.halted, "records continue past a halt"
-            next_pc = _fill_system(row, st, pc, ts, rd_v)
+            next_pc, kec = _fill_system(row, st, pc, ts, rd_v)
             rows[name].append(row)
             if next_pc is None:
                 break
-            st.fin_pc, st.fin_ts = next_pc, ts + TS_STRIDE
+            if kec is not None:
+                from .keccak_vm import KECCAK_BLOCK_TS, fill_keccak_rows
+
+                ptr, length, out_ptr = kec
+                krows, kstates = fill_keccak_rows(
+                    st, pc, ts, ptr, length, out_ptr, lambda a: 0)
+                keccak_rows += krows
+                keccak_states += kstates
+                ts_counter += KECCAK_BLOCK_TS * len(krows)
+            st.fin_pc, st.fin_ts = next_pc, ts_counter
             continue
         target = (pc + boff) if kind in BRANCH_SET | {K_JAL} else 0
         _fill_common(row, st, kind, _CHIP_KINDS[name], pc, ts, rs1, rs2, rd,
@@ -1911,7 +1977,7 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         elif name == "divrem":
             _fill_divrem(row, st, kind, rs1_v, rs2_v, rd_v)
         rows[name].append(row)
-        st.fin_pc, st.fin_ts = next_pc, ts + TS_STRIDE
+        st.fin_pc, st.fin_ts = next_pc, ts_counter
 
     assert all(c <= 1 for c in st.pv_counts), (
         "each PV word may be revealed at most once, got counts "
@@ -1930,6 +1996,26 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             if name == "branch":
                 tr[j, BranchAir.NEXT_PC] = 4  # pc=0 padding: next = pc+4
         out.append((air_cls(), tr, []))
+
+    # keccak syscall chips (present only when the program used them)
+    if keccak_rows:
+        from .keccak_air import NUM_ROUNDS, KeccakfAir
+        from .keccak_vm import KeccakVmAir
+
+        n_k = max(4, 1 << (len(keccak_rows) - 1).bit_length())
+        k_tr = np.zeros((n_k, KeccakVmAir.width), dtype=np.uint32)
+        for j, r in enumerate(keccak_rows):
+            k_tr[j] = r
+        out.append((KeccakVmAir(), k_tr, []))
+
+        n_perm_rows = NUM_ROUNDS * len(keccak_states)
+        log_n = max(5, (n_perm_rows - 1).bit_length())
+        kf = KeccakfAir(log_n=log_n)
+        out.append((
+            kf,
+            kf.generate_trace(keccak_states, [1] * len(keccak_states)),
+            [],
+        ))
 
     # program ROM
     program_air = ProgramAirV2(program_words)
@@ -1967,8 +2053,7 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     ram_tr = np.zeros((n_ram, RamBoundaryAirV2.width), dtype=np.uint32)
     for j, (addr, (fts, fval)) in enumerate(sorted(st.ram.items())):
         ram_tr[j, RamBoundaryAirV2.B_IS_REAL] = 1
-        for k, v in enumerate(_limbs(addr)):
-            ram_tr[j, RamBoundaryAirV2.B_ADDR + k] = v
+        ram_tr[j, RamBoundaryAirV2.B_ADDR] = addr
         ram_tr[j, RamBoundaryAirV2.B_FINAL_TS] = fts
         for k, v in enumerate(_limbs(fval)):
             ram_tr[j, RamBoundaryAirV2.B_FINAL_VAL + k] = v

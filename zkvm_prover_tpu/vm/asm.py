@@ -263,6 +263,18 @@ def hint_read(rd="a0"):
     return out
 
 
+def keccak256(ptr: int, length: int, out_ptr: int):
+    """keccak256(mem[ptr..ptr+length)) -> mem[out_ptr..out_ptr+32):
+    a0=ptr; a1=len; a2=out; a7=3; ecall. Buffers must be word-aligned."""
+    out = []
+    out += li("a0", ptr)
+    out += li("a1", length)
+    out += li("a2", out_ptr)
+    out += li("a7", 3)
+    out.append(ecall())
+    return out
+
+
 def assemble(items: List, base: int = 0) -> List[int]:
     """Two-pass assembly: items are ints (words), lists of ints, or
     ('label', name) / ('branch', fn, rs1, rs2, name) / ('jal', rd, name)."""
