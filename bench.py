@@ -1,11 +1,19 @@
 """Benchmark driver — prints ONE JSON line on the last stdout line.
 
-Headline metric (BASELINE.json): BabyBear NTT butterflies/s/chip, measured on
-the forward batched NTT used by the LDE hot path. The reference publishes no
-benchmark tables (BASELINE.md), so vs_baseline is reported against a
-documented estimate of the reference stack's CPU NTT throughput on the
-96-core host target (Plonky3 p3-dft, parallel feature): ~2.0e9
-butterflies/s. See BASELINE.md "North-star targets".
+Metrics (BASELINE.json north stars):
+  1. BabyBear NTT butterflies/s/chip (headline `metric`), measured on the
+     forward batched NTT used by the LDE hot path. The reference publishes
+     no benchmark tables (BASELINE.md), so vs_baseline is reported against
+     a documented estimate of the reference stack's CPU NTT throughput on
+     the 96-core host target (Plonky3 p3-dft, parallel feature): ~2.0e9
+     butterflies/s. See BASELINE.md "North-star targets".
+  2. Full rv32 machine proof wall-clock at the PRODUCTION security config
+     (FRI 100 queries, 16 PoW bits — openvm.toml parity) on a real
+     workload: a ~2^16-cycle guest exercising every chip (ALU/shift/
+     branch/jump/load-store/mul/divrem + keccak syscall chips), reported
+     as seconds + proving MHz (= cycles / proving time, the reference's
+     proving-speed log at crates/prover/src/prover/mod.rs:358-366).
+     Embedded in the headline JSON under "extra".
 """
 
 import json
@@ -16,7 +24,7 @@ import numpy as np
 REFERENCE_BUTTERFLIES_PER_SEC = 2.0e9  # documented estimate, see docstring
 
 
-def main():
+def bench_ntt():
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +73,96 @@ def main():
     dt = (dt_chain - dt_single) / (K - 1)
 
     butterflies = (n // 2) * log_n * width
-    rate = butterflies / dt
+    return butterflies / dt
+
+
+def bench_guest_program(n_iters=7500):
+    """~2^16-cycle guest touching every chip family + 2 keccak syscalls."""
+    from zkvm_prover_tpu.vm import asm
+
+    msg_base, out_base = 0x3000, 0x3200
+    body = [
+        *asm.li("s0", 0),                 # i
+        *asm.li("s1", n_iters),
+        *asm.li("s2", 0x9E3779B9),        # accumulator
+        *asm.li("s3", msg_base),
+        ("label", "loop"),
+        asm.mul("t0", "s2", "s2"),
+        asm.addi("t0", "t0", 0x2D),
+        asm.xor("s2", "s2", "t0"),
+        asm.srli("t1", "s2", 3),
+        asm.add("s2", "s2", "t1"),
+        asm.andi("t2", "s0", 0x3C),       # rotating 16-word window
+        asm.add("t2", "t2", "s3"),
+        asm.sw("s2", "t2", 0),
+        asm.lw("t3", "t2", 0),
+        asm.divu("t4", "s2", "s1"),
+        asm.addi("s0", "s0", 1),
+        ("branch", asm.bne, "s0", "s1", "loop"),
+        # keccak over the touched window, twice (chains two syscalls)
+        *asm.li("a0", msg_base), *asm.li("a1", 64),
+        *asm.li("a2", out_base), *asm.li("a7", 3), asm.ecall(),
+        *asm.li("a0", out_base), *asm.li("a1", 32),
+        *asm.li("a2", out_base + 0x40), *asm.li("a7", 3), asm.ecall(),
+    ]
+    for i in range(8):
+        body += [
+            *asm.li("t1", out_base + 0x40 + 4 * i),
+            asm.lw("t0", "t1", 0),
+            *asm.reveal("t0", i),
+        ]
+    body.append(asm.halt(0))
+    return asm.assemble(body)
+
+
+def bench_machine_proof():
+    from zkvm_prover_tpu.models import rv32_v2
+    from zkvm_prover_tpu.stark import machine
+    from zkvm_prover_tpu.stark.config import default_config
+    from zkvm_prover_tpu.vm.executor import HALTED, Rv32Executor
+
+    prog = bench_guest_program()
+    ex = Rv32Executor()
+    ex.load_program(prog)
+    t0 = time.time()
+    state = ex.run(1 << 18)
+    exec_s = time.time() - t0
+    assert state == HALTED, state
+    cycles = ex.cycles()
+    t0 = time.time()
+    air_traces = rv32_v2.generate_traces(prog, ex.records(),
+                                         data_base=0x3000)
+    tracegen_s = time.time() - t0
+    instances = [machine.AirInstance(a, t, p) for a, t, p in air_traces]
+    cfg = default_config()
+
+    t0 = time.time()
+    proof = machine.prove_machine(instances, cfg)
+    cold_s = time.time() - t0
+    t0 = time.time()
+    proof = machine.prove_machine(instances, cfg)
+    warm_s = time.time() - t0
+    assert machine.verify_machine([a for a, _, _ in air_traces], proof, cfg)
+    return {
+        "guest_cycles": int(cycles),
+        "execution_mhz": cycles / 1e6 / max(exec_s, 1e-9),
+        "tracegen_s": round(tracegen_s, 3),
+        "proof_wall_s_cold": round(cold_s, 3),
+        "proof_wall_s_warm": round(warm_s, 3),
+        "proving_khz_warm": round(cycles / 1e3 / warm_s, 2),
+        "fri_queries": cfg.fri.num_queries,
+        "pow_bits": cfg.fri.proof_of_work_bits,
+    }
+
+
+def main():
+    extra = {}
+    try:
+        extra["machine_proof"] = bench_machine_proof()
+    except Exception as e:  # never lose the headline metric
+        extra["machine_proof_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    rate = bench_ntt()
     print(
         json.dumps(
             {
@@ -73,6 +170,7 @@ def main():
                 "value": rate,
                 "unit": "butterflies/s",
                 "vs_baseline": rate / REFERENCE_BUTTERFLIES_PER_SEC,
+                "extra": extra,
             }
         )
     )

@@ -57,3 +57,44 @@ def test_sharded_merkle_root_matches(mesh8):
     want = merkle.commit([m]).root_np()
     got = np.asarray(commit_root_sharded(m, mesh8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_intt_and_rev_to_natural(mesh8):
+    from zkvm_prover_tpu.parallel.ntt_sharded import (
+        intt_natural_to_rev_sharded,
+        ntt_rev_to_natural_sharded,
+    )
+
+    log_n = 9
+    n = 1 << log_n
+    x = bb.to_monty(
+        jnp.asarray(
+            RNG.integers(0, bb.P, size=(n, 2), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+    )
+    want = np.asarray(ntt.intt_natural_to_rev(x))
+    got = np.asarray(intt_natural_to_rev_sharded(x, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+    want2 = np.asarray(ntt.ntt_rev_to_natural(x))
+    got2 = np.asarray(ntt_rev_to_natural_sharded(x, mesh8))
+    np.testing.assert_array_equal(got2, want2)
+
+
+def test_sharded_coset_lde_matches(mesh8):
+    from zkvm_prover_tpu.parallel.ntt_sharded import coset_lde_sharded
+
+    log_n = 8
+    n = 1 << log_n
+    x = bb.to_monty(
+        jnp.asarray(
+            RNG.integers(0, bb.P, size=(n, 3), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+    )
+    want = np.asarray(ntt.coset_lde(x, 1, bb.GENERATOR))
+    got = np.asarray(coset_lde_sharded(x, 1, mesh8))
+    np.testing.assert_array_equal(got, want)

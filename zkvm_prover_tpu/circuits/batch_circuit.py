@@ -10,7 +10,7 @@ from typing import List, Optional
 
 from ..types.base.aggregation import AggregationInput
 from ..types.base.chunk import ChunkInfo
-from ..types.base.version import Version
+from ..types.base.version import Codec, Version
 from ..types.batch.builder import build_batch_info_v7
 from ..types.batch.witness import BatchWitness, PointEvalWitness
 from .circuit import AggCircuit
@@ -47,6 +47,19 @@ class BatchCircuit(AggCircuit):
         agg_hashes = [p.pi_hash_bytes() for p in proofs]
         cls.validate_aggregated_pi(chunk_infos, agg_hashes, version)
 
-        # 3. envelope decode + blob consistency + payload cross-checks
-        info = build_batch_info_v7(witness.inner, tau_g2=cls.tau_g2_override)
+        # 3. envelope decode + blob consistency + payload cross-checks.
+        # Builder selection mirrors the reference's version dispatch
+        # (builder/{v6,v7,validium}.rs via Codec/Domain).
+        if version.is_validium():
+            from ..types.batch.builder import build_batch_info_validium
+
+            info = build_batch_info_validium(witness.inner)
+        elif version.codec == Codec.V6:
+            from ..types.batch.builder import build_batch_info_v6
+
+            info = build_batch_info_v6(witness.inner)
+        else:
+            info = build_batch_info_v7(
+                witness.inner, tau_g2=cls.tau_g2_override
+            )
         return info, version

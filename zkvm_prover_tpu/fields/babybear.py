@@ -44,9 +44,33 @@ NP = (-pow(P, -1, 1 << 32)) % (1 << 32)
 _U32 = jnp.uint32
 MASK16 = np.uint32(0xFFFF)
 
+# Backend dispatch: every elementwise kernel here runs EITHER on numpy
+# (host-orchestrated phases — constraint eval over small traces, trace
+# builders, debug checks — where per-op jax dispatch overhead dominates) OR
+# on jax (jitted device kernels). numpy inputs stay numpy; anything jax-ish
+# (tracers, device arrays, python scalars mixed with jax) goes through jnp.
+_NP_TYPES = (np.ndarray, np.generic, int, np.integer)
+
+# Unsigned wraparound is the *mechanism* of every kernel here (Montgomery
+# REDC, borrow chains). numpy arrays wrap silently but numpy SCALARS emit
+# RuntimeWarnings — silence integer-overflow warnings process-wide so the
+# scalar boundary cases behave like the array paths.
+np.seterr(over="ignore")
+
+
+def _mod(*xs):
+    for x in xs:
+        if not isinstance(x, _NP_TYPES):
+            return jnp
+    return np
+
 
 def _u32(x):
     return jnp.asarray(x, dtype=_U32)
+
+
+def _cast(m, x):
+    return m.asarray(x, dtype=m.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -55,8 +79,9 @@ def _u32(x):
 
 def mul32_wide(a, b):
     """Full 64-bit product of two uint32 arrays, returned as (hi, lo) uint32."""
-    a = _u32(a)
-    b = _u32(b)
+    m = _mod(a, b)
+    a = _cast(m, a)
+    b = _cast(m, b)
     a0 = a & MASK16
     a1 = a >> 16
     b0 = b & MASK16
@@ -67,17 +92,18 @@ def mul32_wide(a, b):
     hihi = a1 * b1          # < 2^32, exact
     # mid = hilo + lohi, may carry out of 32 bits
     mid = hilo + lohi
-    carry_mid = (mid < hilo).astype(_U32)
+    carry_mid = (mid < hilo).astype(m.uint32)
     lo = lolo + (mid << 16)
-    carry_lo = (lo < lolo).astype(_U32)
+    carry_lo = (lo < lolo).astype(m.uint32)
     hi = hihi + (mid >> 16) + (carry_mid << 16) + carry_lo
     return hi, lo
 
 
 def mul32_lo(a, b):
     """Low 32 bits of a*b (3 exact multiplies)."""
-    a = _u32(a)
-    b = _u32(b)
+    m = _mod(a, b)
+    a = _cast(m, a)
+    b = _cast(m, b)
     a0 = a & MASK16
     a1 = a >> 16
     b0 = b & MASK16
@@ -91,12 +117,13 @@ def mul32_lo(a, b):
 
 def mont_reduce(hi, lo):
     """REDC: given t = hi*2^32 + lo < p*2^32, return t * R^{-1} mod p."""
+    xp = _mod(hi, lo)
     m = mul32_lo(lo, np.uint32(NP))
     mp_hi, mp_lo = mul32_wide(m, np.uint32(P))
     # lo + mp_lo ≡ 0 (mod 2^32) exactly; carry out is 1 unless both are 0.
-    carry = (lo != 0).astype(_U32)
-    u = hi + mp_hi + carry
-    return jnp.where(u >= np.uint32(P), u - np.uint32(P), u)
+    carry = (_cast(xp, lo) != 0).astype(xp.uint32)
+    u = _cast(xp, hi) + mp_hi + carry
+    return xp.where(u >= np.uint32(P), u - np.uint32(P), u)
 
 
 def mul(a, b):
@@ -106,20 +133,23 @@ def mul(a, b):
 
 
 def add(a, b):
-    s = _u32(a) + _u32(b)  # both < p < 2^31 — no wraparound
-    return jnp.where(s >= np.uint32(P), s - np.uint32(P), s)
+    xp = _mod(a, b)
+    s = _cast(xp, a) + _cast(xp, b)  # both < p < 2^31 — no wraparound
+    return xp.where(s >= np.uint32(P), s - np.uint32(P), s)
 
 
 def sub(a, b):
-    a = _u32(a)
-    b = _u32(b)
+    xp = _mod(a, b)
+    a = _cast(xp, a)
+    b = _cast(xp, b)
     d = a - b  # wraps when a < b
-    return jnp.where(a >= b, d, d + np.uint32(P))
+    return xp.where(a >= b, d, d + np.uint32(P))
 
 
 def neg(a):
-    a = _u32(a)
-    return jnp.where(a == 0, a, np.uint32(P) - a)
+    xp = _mod(a)
+    a = _cast(xp, a)
+    return xp.where(a == 0, a, np.uint32(P) - a)
 
 
 def double(a):
@@ -128,13 +158,15 @@ def double(a):
 
 def to_monty(a):
     """Canonical uint32 (< p) -> Montgomery form."""
-    hi, lo = mul32_wide(_u32(a), np.uint32(R2))
+    hi, lo = mul32_wide(a, np.uint32(R2))
     return mont_reduce(hi, lo)
 
 
 def from_monty(a):
     """Montgomery form -> canonical uint32 (< p)."""
-    return mont_reduce(jnp.zeros_like(_u32(a)), _u32(a))
+    xp = _mod(a)
+    a = _cast(xp, a)
+    return mont_reduce(xp.zeros_like(a), a)
 
 
 ZERO = np.uint32(0)
@@ -165,7 +197,9 @@ def exp_const(a, e: int):
         base = mul(base, base)
         e >>= 1
     if result is None:
-        return jnp.full(jnp.shape(a), ONE, dtype=_U32)
+        xp = _mod(a)
+        return xp.full(np.shape(a) if xp is np else jnp.shape(a), ONE,
+                       dtype=xp.uint32)
     return result
 
 

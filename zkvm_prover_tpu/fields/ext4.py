@@ -26,27 +26,34 @@ DTH_ROOT = np.uint32(bb.to_monty_int(DTH_ROOT_INT))
 D = 4
 
 
-def zero(shape=()):
-    return jnp.zeros((*shape, D), dtype=jnp.uint32)
+def zero(shape=(), xp=jnp):
+    return xp.zeros((*shape, D), dtype=xp.uint32)
 
 
-def one(shape=()):
+def one(shape=(), xp=jnp):
     z = np.zeros((*shape, D), dtype=np.uint32)
     z[..., 0] = bb.ONE
-    return jnp.asarray(z)
+    return xp.asarray(z)
 
 
 def from_base(a):
     """Embed base-field array (Montgomery) into the extension (append zeros)."""
+    if isinstance(a, bb._NP_TYPES):
+        a = np.asarray(a, dtype=np.uint32)
+        z = np.zeros((*a.shape, D), dtype=np.uint32)
+        z[..., 0] = a
+        return z
     a = jnp.asarray(a, dtype=jnp.uint32)
     z = jnp.zeros((*a.shape, D), dtype=jnp.uint32)
     return z.at[..., 0].set(a)
 
 
-def from_ints(coeffs) -> jnp.ndarray:
-    """Python-int canonical coefficients -> Montgomery ext element."""
-    c = np.asarray([bb.to_monty_int(int(v) % bb.P) for v in coeffs], dtype=np.uint32)
-    return jnp.asarray(c)
+def from_ints(coeffs) -> np.ndarray:
+    """Python-int canonical coefficients -> Montgomery ext element (numpy;
+    promotes to jax on contact with jax values)."""
+    return np.asarray(
+        [bb.to_monty_int(int(v) % bb.P) for v in coeffs], dtype=np.uint32
+    )
 
 
 def to_ints(a) -> list:
@@ -68,11 +75,13 @@ def neg(a):
 
 def scale(a, s):
     """Multiply ext element(s) by base-field scalar(s) (Montgomery form)."""
-    return bb.mul(a, jnp.asarray(s, dtype=jnp.uint32)[..., None])
+    xp = bb._mod(a, s)
+    return bb.mul(a, xp.asarray(s, dtype=xp.uint32)[..., None])
 
 
 def mul(a, b):
     """Extension product modulo x^4 - W. 16 base muls + 3 W-muls."""
+    xp = bb._mod(a, b)
     a0, a1, a2, a3 = (a[..., i] for i in range(4))
     b0, b1, b2, b3 = (b[..., i] for i in range(4))
     m = bb.mul
@@ -82,12 +91,13 @@ def mul(a, b):
     c1 = s(s(m(a0, b1), m(a1, b0)), m(W, s(m(a2, b3), m(a3, b2))))
     c2 = s(s(m(a0, b2), m(a1, b1)), s(m(a2, b0), m(W, m(a3, b3))))
     c3 = s(s(m(a0, b3), m(a1, b2)), s(m(a2, b1), m(a3, b0)))
-    return jnp.stack([c0, c1, c2, c3], axis=-1)
+    return xp.stack([c0, c1, c2, c3], axis=-1)
 
 
 def mul_base(a, b):
     """Ext * base (b broadcast over the coefficient axis)."""
-    return bb.mul(a, jnp.asarray(b, dtype=jnp.uint32)[..., None])
+    xp = bb._mod(a, b)
+    return bb.mul(a, xp.asarray(b, dtype=xp.uint32)[..., None])
 
 
 def square(a):
@@ -99,11 +109,12 @@ def from_base_cols(cols):
     cols: (..., 4 basecol, 4 extcoord) -> sum_c cols[..., c, :] * x^c."""
     import numpy as _np
 
+    xp = bb._mod(cols)
     acc = cols[..., 0, :]
     for c in range(1, 4):
         basis = _np.zeros(4, dtype=_np.uint32)
         basis[c] = bb.ONE
-        acc = add(acc, mul(cols[..., c, :], jnp.asarray(basis)))
+        acc = add(acc, mul(cols[..., c, :], xp.asarray(basis)))
     return acc
 
 
@@ -116,7 +127,9 @@ def frobenius(a, k: int = 1):
     for i in range(4):
         vals.append(bb.to_monty_int(acc))
         acc = (acc * r) % bb.P
-    scal = jnp.asarray(np.asarray(vals, dtype=np.uint32))
+    scal = np.asarray(vals, dtype=np.uint32)
+    if bb._mod(a) is not np:
+        scal = jnp.asarray(scal)
     return bb.mul(a, scal)
 
 
@@ -141,7 +154,8 @@ def exp_const(a, e: int):
         base = mul(base, base)
         e >>= 1
     if result is None:
-        return jnp.broadcast_to(one(), a.shape)
+        xp = bb._mod(a)
+        return xp.broadcast_to(one(xp=xp), a.shape)
     return result
 
 

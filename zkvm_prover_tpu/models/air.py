@@ -174,12 +174,14 @@ class LdeBuilder(AirBuilder):
     """
 
     def __init__(self, lde, blowup: int, sels, public_values, pre_lde=None):
-        # lde: (m, w); next-row = roll by blowup in natural order
+        # lde: (m, w); next-row = roll by blowup in natural order.
+        # numpy inputs stay numpy (host-eval fast path), jax stays jax.
+        xp = bb._mod(lde)
         self._lde = lde
-        self._next = jnp.roll(lde, -blowup, axis=0)
+        self._next = xp.roll(lde, -blowup, axis=0)
         self._pre = pre_lde
         self._pre_next = (
-            None if pre_lde is None else jnp.roll(pre_lde, -blowup, axis=0)
+            None if pre_lde is None else xp.roll(pre_lde, -blowup, axis=0)
         )
         self._sels = sels  # dict: first, last, transition -> (m,) arrays
         self._pvs = public_values  # (n_pv,) Montgomery array
@@ -258,7 +260,7 @@ class PointBuilder(AirBuilder):
         return self._pre_next[col]
 
     def public_value(self, i):
-        return ext4.from_base(jnp.asarray(self._pvs[i], dtype=jnp.uint32))
+        return ext4.from_base(np.asarray(self._pvs[i], dtype=np.uint32))
 
     @property
     def is_first_row(self):
@@ -286,7 +288,8 @@ class PointBuilder(AirBuilder):
 
     @staticmethod
     def _up(x):
-        x = jnp.asarray(x, dtype=jnp.uint32)
+        xp = bb._mod(x)
+        x = xp.asarray(x, dtype=xp.uint32)
         if x.ndim == 0:
             return ext4.from_base(x)
         return x
@@ -309,9 +312,10 @@ class TraceBuilder(LdeBuilder):
         last[-1] = bb.ONE
         transition = np.full(n, bb.ONE, dtype=np.uint32)
         transition[-1] = 0
+        xp = np if isinstance(trace_m, bb._NP_TYPES) else jnp
         sels = {
-            "first": jnp.asarray(first),
-            "last": jnp.asarray(last),
-            "transition": jnp.asarray(transition),
+            "first": xp.asarray(first),
+            "last": xp.asarray(last),
+            "transition": xp.asarray(transition),
         }
         super().__init__(trace_m, 1, sels, public_values, pre_lde=pre_m)

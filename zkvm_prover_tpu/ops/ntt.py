@@ -93,7 +93,9 @@ def _powers_bitrev_monty(base_int: int, log_n: int):
 
 
 def _dif(x, log_n: int, inverse: bool):
-    """DIF butterflies: natural-order input -> bit-reversed-order output."""
+    """DIF butterflies: natural-order input -> bit-reversed-order output.
+    Backend-generic: numpy input runs entirely on numpy (no XLA compile)."""
+    xp = np if isinstance(x, np.ndarray) else jnp
     n = x.shape[0]
     w_all = _stage_twiddles(log_n, inverse)
     rest = x.shape[1:]
@@ -105,12 +107,13 @@ def _dif(x, log_n: int, inverse: bool):
         hi = v[:, 1]
         new_lo = bb.add(lo, hi)
         new_hi = bb.mul(bb.sub(lo, hi), tw)
-        x = jnp.stack([new_lo, new_hi], axis=1).reshape((n,) + rest)
+        x = xp.stack([new_lo, new_hi], axis=1).reshape((n,) + rest)
     return x
 
 
 def _dit(x, log_n: int, inverse: bool):
     """DIT butterflies: bit-reversed-order input -> natural-order output."""
+    xp = np if isinstance(x, np.ndarray) else jnp
     n = x.shape[0]
     w_all = _stage_twiddles(log_n, inverse)
     rest = x.shape[1:]
@@ -120,12 +123,26 @@ def _dit(x, log_n: int, inverse: bool):
         v = x.reshape((n // (2 * h), 2, h) + rest)
         lo = v[:, 0]
         hi = bb.mul(v[:, 1], tw)
-        x = jnp.stack([bb.add(lo, hi), bb.sub(lo, hi)], axis=1).reshape(
+        x = xp.stack([bb.add(lo, hi), bb.sub(lo, hi)], axis=1).reshape(
             (n,) + rest
         )
     return x
 
 
+def _np_or_jit(jit_fn):
+    """numpy input -> run the traced body eagerly on numpy; else jit."""
+
+    def wrapper(x, *args):
+        if isinstance(x, np.ndarray):
+            return jit_fn.__wrapped__(x, *args)
+        return jit_fn(x, *args)
+
+    wrapper.__name__ = jit_fn.__wrapped__.__name__
+    wrapper.__doc__ = jit_fn.__wrapped__.__doc__
+    return wrapper
+
+
+@_np_or_jit
 @jax.jit
 def ntt_natural_to_rev(x):
     """Forward NTT; natural-order input, bit-reversed output."""
@@ -133,6 +150,7 @@ def ntt_natural_to_rev(x):
     return _dif(x, log_n, inverse=False)
 
 
+@_np_or_jit
 @jax.jit
 def ntt_rev_to_natural(x):
     """Forward NTT; bit-reversed input, natural-order output."""
@@ -140,6 +158,7 @@ def ntt_rev_to_natural(x):
     return _dit(x, log_n, inverse=False)
 
 
+@_np_or_jit
 @jax.jit
 def intt_natural_to_rev(x):
     """Inverse NTT; natural-order evals -> bit-reversed coefficients."""
@@ -148,6 +167,7 @@ def intt_natural_to_rev(x):
     return bb.mul(out, _n_inv_monty(log_n))
 
 
+@_np_or_jit
 @jax.jit
 def intt_rev_to_natural(x):
     """Inverse NTT; bit-reversed evals -> natural-order coefficients."""
@@ -186,8 +206,7 @@ def interpolate_coset_rev(evals, shift_in_int: int = 1):
     return c_rev
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def eval_coset_from_rev(c_rev, log_blowup: int, shift_int: int):
+def _eval_coset_from_rev_body(c_rev, log_blowup: int, shift_int: int):
     """Bit-reversed coefficients (n, W) -> evals of the degree<n poly on the
     coset shift*G_m (natural order), m = n << log_blowup.
 
@@ -208,11 +227,24 @@ def eval_coset_from_rev(c_rev, log_blowup: int, shift_int: int):
         )
         cosets.append(_dit(bb.mul(c_rev, scale), log_n, inverse=False))
     # interleave: global natural index t = r + j*blowup
-    out = jnp.stack(cosets, axis=1)  # (n, blowup, *rest)
+    xp = np if isinstance(c_rev, np.ndarray) else jnp
+    out = xp.stack(cosets, axis=1)  # (n, blowup, *rest)
     return out.reshape((n * blowup,) + rest)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+_eval_coset_from_rev_jit = functools.partial(jax.jit, static_argnums=(1, 2))(
+    _eval_coset_from_rev_body
+)
+
+
+def eval_coset_from_rev(c_rev, log_blowup: int, shift_int: int):
+    """Bit-reversed coefficients -> natural-order coset evals (see body);
+    numpy input runs on numpy, jax input through the jitted kernel."""
+    if isinstance(c_rev, np.ndarray):
+        return _eval_coset_from_rev_body(c_rev, log_blowup, shift_int)
+    return _eval_coset_from_rev_jit(c_rev, log_blowup, shift_int)
+
+
 def coset_lde(evals, log_blowup: int, shift_int: int = bb.GENERATOR,
               shift_in_int: int = 1):
     """Low-degree extension (the reference's `coset_lde_batch`, log_blowup=1).
@@ -224,7 +256,6 @@ def coset_lde(evals, log_blowup: int, shift_int: int = bb.GENERATOR,
     return eval_coset_from_rev(c_rev, log_blowup, shift_int)
 
 
-@jax.jit
 def eval_poly_at_point_ext(coeffs_rev, point_ext):
     """Evaluate a poly (bit-reversed base-field coeffs (n, W)) at an ext point.
 
@@ -244,11 +275,13 @@ def eval_poly_at_point_ext(coeffs_rev, point_ext):
     log_n = n.bit_length() - 1
     from ..fields import ext4
 
-    pw = ext4.one((1,))  # (1, 4)
-    zp = point_ext  # z^(2^k)
+    xp = np if isinstance(coeffs_rev, np.ndarray) and isinstance(
+        point_ext, (np.ndarray, np.generic)) else jnp
+    pw = ext4.one((1,), xp=xp)  # (1, 4)
+    zp = xp.asarray(point_ext, dtype=xp.uint32)  # z^(2^k)
     for _ in range(log_n):
-        hi = ext4.mul(pw, jnp.broadcast_to(zp, pw.shape))
-        pw = jnp.stack([pw, hi], axis=1).reshape(-1, 4)
+        hi = ext4.mul(pw, xp.broadcast_to(zp, pw.shape))
+        pw = xp.stack([pw, hi], axis=1).reshape(-1, 4)
         zp = ext4.mul(zp, zp)
     # pw[j] = z^bitrev(j), shape (n, 4)
     # result[w] = sum_j coeffs_rev[j, w] * pw[j]
@@ -262,12 +295,13 @@ def _field_sum(x, axis=0):
     Values < 2^31; sum pairs then reduce — use a log-tree of bb.add to stay
     in-range (each add renormalizes below p).
     """
+    xp = np if isinstance(x, np.ndarray) else jnp
     n = x.shape[axis]
-    x = jnp.moveaxis(x, axis, 0)
+    x = xp.moveaxis(x, axis, 0)
     while n > 1:
         if n % 2 == 1:
-            x = jnp.concatenate(
-                [x, jnp.zeros((1,) + x.shape[1:], dtype=x.dtype)], axis=0
+            x = xp.concatenate(
+                [x, xp.zeros((1,) + x.shape[1:], dtype=x.dtype)], axis=0
             )
             n += 1
         x = bb.add(x[0::2], x[1::2])

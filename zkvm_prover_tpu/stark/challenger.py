@@ -71,11 +71,11 @@ class Challenger:
             self._duplex()
         return self.output_buffer.pop()
 
-    def sample_ext(self) -> jnp.ndarray:
-        """One extension-field element, shape (4,) Montgomery."""
-        return jnp.asarray(
-            np.array([self.sample() for _ in range(4)], dtype=np.uint32)
-        )
+    def sample_ext(self) -> np.ndarray:
+        """One extension-field element, shape (4,) Montgomery (numpy, so
+        host-side consumers stay on the numpy fast path; jitted consumers
+        upload it once per proof)."""
+        return np.array([self.sample() for _ in range(4)], dtype=np.uint32)
 
     def sample_bits(self, bits: int) -> int:
         v = bb.from_monty_int(self.sample())

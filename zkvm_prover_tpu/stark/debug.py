@@ -23,9 +23,8 @@ from ..models.air import Air, TraceBuilder
 
 
 def _monty(trace: np.ndarray):
-    import jax.numpy as jnp
-
-    return bb.to_monty(jnp.asarray(np.asarray(trace, dtype=np.uint32)))
+    # numpy end-to-end: debug checks never touch the jax dispatcher
+    return bb.to_monty(np.asarray(trace, dtype=np.uint32))
 
 
 def _builder(air: Air, trace: np.ndarray, public_values=()):

@@ -65,11 +65,13 @@ def selectors_on_coset(log_n: int, log_blowup: int, shift_int: int):
 
 
 def selectors_at_point_ext(log_n: int, zeta_ext):
-    """Same selectors at an extension point zeta. Returns dict of (4,) ext."""
+    """Same selectors at an extension point zeta. Returns dict of (4,) ext.
+    Backend follows zeta_ext (numpy on the host verifier path)."""
     n = 1 << log_n
+    xp = bb._mod(zeta_ext)
     g_h_inv = pow(bb.two_adic_generator_int(log_n), bb.P - 2, bb.P)
     zeta_n = ext4.exp_const(zeta_ext, n)
-    one = ext4.one()
+    one = ext4.one(xp=xp)
     zh = ext4.sub(zeta_n, one)
     zm1 = ext4.sub(zeta_ext, one)
     zmg = ext4.sub(zeta_ext, ext4.from_ints([g_h_inv, 0, 0, 0]))

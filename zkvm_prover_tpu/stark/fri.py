@@ -84,7 +84,9 @@ def fold_round(codeword, log_m: int, shift_int: int, beta):
     inv2 = np.uint32(bb.to_monty_int(pow(2, bb.P - 2, bb.P)))
     g = bb.mul(s, inv2)
     h = bb.mul(d, inv_d[:, None])
-    return bb.add(g, ext4.mul(jnp.broadcast_to(beta, h.shape), h))
+    xp = bb._mod(h, beta)
+    return bb.add(g, ext4.mul(
+        xp.broadcast_to(xp.asarray(beta, dtype=xp.uint32), h.shape), h))
 
 
 def prove(

@@ -42,7 +42,8 @@ def _as_ext(x, point_mode: bool):
     """Base builder values -> ext. The mode must be EXPLICIT: a height-4
     base column has shape (4,) and would be misread as one ext element by
     shape sniffing."""
-    x = jnp.asarray(x, dtype=jnp.uint32)
+    xp = bb._mod(x)
+    x = xp.asarray(x, dtype=xp.uint32)
     if point_mode:
         return x if x.ndim >= 1 else ext4.from_base(x)
     return ext4.from_base(x)
@@ -51,7 +52,8 @@ def _as_ext(x, point_mode: bool):
 def _mul_sel(c_ext, sel):
     """Multiply ext constraint by a selector (base array in LDE mode, ext
     value in point mode)."""
-    sel = jnp.asarray(sel, dtype=jnp.uint32)
+    xp = bb._mod(c_ext, sel)
+    sel = xp.asarray(sel, dtype=xp.uint32)
     if sel.ndim >= 1 and sel.shape[-1] == 4 and sel.ndim == c_ext.ndim:
         return ext4.mul(c_ext, sel)
     return bb.mul(c_ext, sel[..., None])
@@ -59,18 +61,20 @@ def _mul_sel(c_ext, sel):
 
 def fingerprint(inter: Interaction, z, beta, point_mode: bool = False):
     """fp = bus + sum_k beta^(k+1) * field_k, broadcast over rows."""
+    xp = bb._mod(beta, *inter.fields)
     bus_m = np.zeros(4, dtype=np.uint32)
     bus_m[0] = bb.to_monty_int(inter.bus)
-    acc = jnp.asarray(bus_m)
-    bpow = beta
+    acc = xp.asarray(bus_m)
+    beta_x = xp.asarray(beta, dtype=xp.uint32)
+    bpow = beta_x
     for f in inter.fields:
         fe = _as_ext(f, point_mode)
-        term = ext4.mul(jnp.broadcast_to(bpow, fe.shape), fe)
+        term = ext4.mul(xp.broadcast_to(bpow, fe.shape), fe)
         acc = ext4.add(
-            jnp.broadcast_to(acc, term.shape) if acc.ndim < term.ndim else acc,
+            xp.broadcast_to(acc, term.shape) if acc.ndim < term.ndim else acc,
             term,
         )
-        bpow = ext4.mul(bpow, beta)
+        bpow = ext4.mul(bpow, beta_x)
     return acc
 
 
@@ -84,25 +88,35 @@ def build_perm_trace(interactions: Sequence[Interaction], z, beta):
 
     interactions carry (n,)-vector fields/mults from a TraceBuilder pass.
     """
+    xp = bb._mod(z, beta,
+                 *[f for i_ in interactions for f in i_.fields],
+                 *[i_.mult for i_ in interactions])
     cols = []
     for inter in interactions:
         fp = fingerprint(inter, z, beta)          # (n, 4) or (4,) if all
         sm = signed_mult(inter)                   # fields/mult are constants
-        sm = jnp.asarray(sm)
-        shape = jnp.broadcast_shapes(fp.shape, sm.shape)
-        fp = jnp.broadcast_to(fp, shape)
-        sm = jnp.broadcast_to(sm, shape)
-        denom = ext4.sub(jnp.broadcast_to(z, shape), fp)
+        sm = xp.asarray(sm)
+        shape = np.broadcast_shapes(fp.shape, sm.shape)
+        fp = xp.broadcast_to(fp, shape)
+        sm = xp.broadcast_to(sm, shape)
+        denom = ext4.sub(xp.broadcast_to(xp.asarray(z, dtype=xp.uint32),
+                                         shape), fp)
         c = ext4.mul(sm, ext4.inv(denom))
         cols.append(c)
-    shape = jnp.broadcast_shapes(*[c.shape for c in cols])
-    cols = [jnp.broadcast_to(c, shape) for c in cols]
+    shape = np.broadcast_shapes(*[c.shape for c in cols])
+    cols = [xp.broadcast_to(c, shape) for c in cols]
     total = cols[0]
     for c in cols[1:]:
         total = ext4.add(total, c)
-    run_sum = jax.lax.associative_scan(bb.add, total, axis=0)  # (n, 4)
+    if xp is np:
+        # parallel-prefix not needed on the host path: an exact uint64
+        # cumsum mod p is the same running sum (values < p, n < 2^33)
+        run_sum = (np.cumsum(total.astype(np.uint64), axis=0)
+                   % np.uint64(bb.P)).astype(np.uint32)
+    else:
+        run_sum = jax.lax.associative_scan(bb.add, total, axis=0)  # (n, 4)
     claimed = run_sum[-1]
-    perm = jnp.concatenate(cols + [run_sum], axis=1)  # (n, 4k+4)
+    perm = xp.concatenate(cols + [run_sum], axis=1)  # (n, 4k+4)
     return perm, claimed
 
 
@@ -120,11 +134,13 @@ def perm_constraints(
     assert len(perm_local) == k + 1
     out = []
     for j, inter in enumerate(interactions):
+        xp = bb._mod(z, beta, perm_local[j], *inter.fields)
         fp = fingerprint(inter, z, beta, point_mode)
         sm = signed_mult(inter, point_mode)
         c = perm_local[j]
-        lhs = ext4.mul(c, ext4.sub(jnp.broadcast_to(z, fp.shape), fp))
-        out.append(ext4.sub(lhs, jnp.broadcast_to(sm, lhs.shape)))
+        lhs = ext4.mul(c, ext4.sub(
+            xp.broadcast_to(xp.asarray(z, dtype=xp.uint32), fp.shape), fp))
+        out.append(ext4.sub(lhs, xp.broadcast_to(xp.asarray(sm), lhs.shape)))
 
     s_local = perm_local[k]
     s_next = perm_next[k]
@@ -141,9 +157,13 @@ def perm_constraints(
             ext4.sub(ext4.sub(s_next, s_local), csum_next), sels["transition"]
         )
     )
+    xp2 = bb._mod(s_local, claimed_sum)
     out.append(
         _mul_sel(
-            ext4.sub(s_local, jnp.broadcast_to(claimed_sum, s_local.shape)),
+            ext4.sub(s_local,
+                     xp2.broadcast_to(xp2.asarray(claimed_sum,
+                                                  dtype=xp2.uint32),
+                                      s_local.shape)),
             sels["last"],
         )
     )

@@ -50,6 +50,9 @@ class MerkleTree:
 
 
 def _rows_digest(mats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    if all(isinstance(m, np.ndarray) for m in mats):
+        cat = mats[0] if len(mats) == 1 else np.concatenate(mats, axis=1)
+        return p2.hash_rows_np(np.ascontiguousarray(cat))
     cat = mats[0] if len(mats) == 1 else jnp.concatenate(mats, axis=1)
     return p2.hash_rows(cat)
 
@@ -65,14 +68,16 @@ def _commit_levels(matrices):
 
     levels = []
     d = _rows_digest(by_height[h_max])
+    is_np = isinstance(d, np.ndarray)
+    compress = p2.compress_np if is_np else p2.compress
     levels.append(d)
     s = h_max
     while s > 1:
         s //= 2
         pairs = d.reshape(s, 2, DIGEST)
-        d = p2.compress(pairs[:, 0], pairs[:, 1])
+        d = compress(pairs[:, 0], pairs[:, 1])
         if s in by_height:
-            d = p2.compress(d, _rows_digest(by_height[s]))
+            d = compress(d, _rows_digest(by_height[s]))
         levels.append(d)
     return levels
 

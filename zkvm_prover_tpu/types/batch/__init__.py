@@ -8,7 +8,11 @@ from .blob import (
 )
 from .payload import EnvelopeV7, PayloadV7
 from .witness import BatchWitness, PointEvalWitness
-from .builder import build_batch_info_v7
+from .builder import (
+    build_batch_info_v6,
+    build_batch_info_v7,
+    build_batch_info_validium,
+)
 
 __all__ = [
     "BatchHeaderV6",
@@ -23,5 +27,7 @@ __all__ = [
     "PayloadV7",
     "BatchWitness",
     "PointEvalWitness",
+    "build_batch_info_v6",
     "build_batch_info_v7",
+    "build_batch_info_validium",
 ]

@@ -37,8 +37,12 @@ SEL_FINALIZE_ERC20_ENC = _selector(
 
 
 def abi_decode(types: List[str], data: bytes) -> List:
-    """Decode a head/tail ABI blob of address/uint256/bytes fields."""
+    """Decode a head/tail ABI blob of address/uint256/bytes fields.
+    Malformed offsets/lengths raise (the alloy ABI decoder's behavior)
+    instead of silently truncating via Python slicing."""
     out = []
+    if len(data) < 32 * len(types):
+        raise ValueError("abi blob shorter than its head")
     for i, t in enumerate(types):
         head = data[32 * i : 32 * (i + 1)]
         if t == "address":
@@ -47,7 +51,11 @@ def abi_decode(types: List[str], data: bytes) -> List:
             out.append(int.from_bytes(head, "big"))
         elif t == "bytes":
             off = int.from_bytes(head, "big")
+            if off + 32 > len(data):
+                raise ValueError("abi bytes offset out of range")
             ln = int.from_bytes(data[off : off + 32], "big")
+            if off + 32 + ln > len(data):
+                raise ValueError("abi bytes length out of range")
             out.append(data[off + 32 : off + 32 + ln])
         else:
             raise ValueError(f"unsupported abi type {t}")
