@@ -15,13 +15,18 @@ test-fast:
 	  tests/test_e2e_chain.py tests/test_vm.py -q
 
 test-single-chunk:
-	$(PY) -m pytest tests/test_integration_harness.py::test_proved_e2e_chain -q
+	RUN_HEAVY=1 $(PY) -m pytest \
+	  tests/test_integration_harness.py::test_proved_e2e_chain -q
 
 test-e2e-batch:
 	$(PY) -m pytest tests/test_e2e_chain.py -q
 
 test-e2e-bundle:
-	$(PY) -m pytest tests/test_integration_harness.py -q
+	RUN_HEAVY=1 $(PY) -m pytest tests/test_integration_harness.py -q
+
+test-heavy:
+	RUN_HEAVY=1 $(PY) -m pytest tests/test_integration_harness.py \
+	  tests/test_recursion_aggregation.py tests/test_msm.py -q
 
 bench:
 	$(PY) bench.py

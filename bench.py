@@ -183,14 +183,31 @@ def bench_msm(n=2048):
     }
 
 
+def _with_deadline(fn, seconds):
+    """Run fn() under a SIGALRM deadline so a hung sub-benchmark can never
+    swallow the headline metric."""
+    import signal
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"benchmark exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     extra = {}
     try:
-        extra["machine_proof"] = bench_machine_proof()
+        extra["machine_proof"] = _with_deadline(bench_machine_proof, 1500)
     except Exception as e:  # never lose the headline metric
         extra["machine_proof_error"] = f"{type(e).__name__}: {e}"[:300]
     try:
-        extra["bn254_msm"] = bench_msm()
+        extra["bn254_msm"] = _with_deadline(bench_msm, 900)
     except Exception as e:
         extra["bn254_msm_error"] = f"{type(e).__name__}: {e}"[:300]
 

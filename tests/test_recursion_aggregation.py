@@ -146,6 +146,48 @@ def test_leaf_rejects_wrong_digest(leaf_setup):
     assert not prog.verify(node_proof, expected_digest=bytes(wrong))
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_HEAVY"),
+    reason="in-circuit verification of a full 17-AIR rv32 chunk machine "
+           "builds a ~10^5-op wire circuit — minutes of CPU; run with "
+           "RUN_HEAVY=1 (the same machinery is exercised at small scale "
+           "by every other test in this module)",
+)
+def test_leaf_over_rv32_chunk_machine():
+    """Verifier-in-circuit over a REAL chunk app proof (the full rv32 VM
+    machine incl. keccak syscall chips) — constraint-level check."""
+    import json
+
+    from zkvm_prover_tpu.host import serialization
+    from zkvm_prover_tpu.host.app import get_app
+    from zkvm_prover_tpu.host.prover import Prover, ProverConfig
+    from zkvm_prover_tpu.host.task import ProvingTask
+    from zkvm_prover_tpu.recursion.aggregation import (
+        build_child_verification,
+    )
+    from zkvm_prover_tpu.recursion.stark_verifier import RealOracle
+    from zkvm_prover_tpu.stark import debug
+    from zkvm_prover_tpu.integration.testers import ChunkTaskGenerator
+
+    gen = ChunkTaskGenerator(stark=TINY)
+    envelope = gen.get_or_build_proof(0)
+    mp = serialization.decode_machine_proof(envelope.proof)
+    app = get_app("chunk")
+    slot = ChildSlot(
+        app.airs_for_meta(mp.meta), [ln for (ln, _, _) in mp.meta], TINY
+    )
+    instances = build_child_verification(
+        TAG_LEAF, [slot], [RealOracle(mp)]
+    )
+    for inst in instances:
+        assert debug.check_constraints(
+            inst.air, inst.trace, inst.public_values
+        ) == []
+    pairs = [(i.air, i.trace) for i in instances]
+    pvs_map = {k: i.public_values for k, i in enumerate(instances)}
+    assert debug.check_bus_balance(pairs, pvs_map) == {}
+
+
 def test_internal_node_over_leaf(leaf_setup):
     """Two-level tree: an internal node verifies a LEAF machine proof
     in-circuit (the wire machine verifying a proof of the wire machine —

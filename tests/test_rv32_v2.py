@@ -48,6 +48,7 @@ def full_coverage_program():
         asm.mulhsu("t6", "t1", "t0"),
         asm.div("tp", "t1", "a2"),
         asm.rem("ra", "t1", "a2"),
+        asm.add("a6", "ra", "zero"),  # the jal below clobbers ra (link reg)
         asm.divu("sp", "t0", "a2"),
         asm.remu("a0", "t0", "a2"),
         asm.div("a1", "t0", "zero"),
@@ -83,6 +84,10 @@ def full_coverage_program():
         ("branch", asm.bltu, "a4", "t1", "ok4"),
         asm.addi("a5", "zero", 95),
         ("label", "ok4"),
+        # halt(0) clobbers a0 (exit code) and a7 (syscall id): preserve the
+        # MUL-low / REMU results first
+        asm.add("t5", "a7", "zero"),
+        asm.add("t6", "a0", "zero"),
         asm.halt(0),
     ])
 
@@ -104,15 +109,17 @@ def test_executor_semantics(v2_proof):
     g = lambda r: ex.get_reg(R[r])
     assert g("t2") == 100                       # rem 100, 0 -> 100
     assert g("t3") == 0x80000000                # lui
-    assert g("s8") == 100 % (1 << 32) and True
+    assert g("s8") == 0xF9                      # lbu zero-extends 0xF9
     assert g("a3") == 800                       # 100 << 3
     assert g("s0") == 0xFFFFFFFF                # -7 >> 3 arithmetic = -1
     assert g("gp") == 0                         # 100 >>a 31
-    assert g("a7") == (100 * (2**32 - 7)) % (1 << 32)
+    assert g("t5") == (100 * (2**32 - 7)) % (1 << 32)  # mul low (saved)
+    assert g("a7") == 0                         # clobbered by halt(0)
     assert g("t4") == ((100 * -7) >> 32) % (1 << 32)   # mulh
     assert g("tp") == (-2) % (1 << 32)          # -7 / 3
-    assert g("ra") == (-1) % (1 << 32)          # -7 % 3
-    assert g("sp") == 33 and g("a0") == 1
+    assert g("a6") == (-1) % (1 << 32)          # -7 % 3 (saved before jal)
+    assert g("sp") == 33 and g("t6") == 1       # divu / remu (saved)
+    assert g("a0") == 0                         # clobbered by halt(0)
     assert g("a1") == 0xFFFFFFFF                # div by zero
     assert g("s3") == 0x80000000                # INT_MIN / -1
     assert g("s4") == 0                         # INT_MIN % -1
@@ -121,7 +128,9 @@ def test_executor_semantics(v2_proof):
     assert g("s8") == 0xF9                      # lbu
     assert g("s9") == 0xFFFFFFF9                # lh sign-extends
     assert g("s10") == 0xFFF9                   # lhu
-    assert g("a5") == 0                         # every branch took its edge
+    # a5 keeps the srl result (0xFFFFFFF9 >> 3): every branch took its
+    # edge, so none of the fall-through writes (95..98) happened
+    assert g("a5") == 0x1FFFFFFF
 
 
 def test_bus_balance_and_constraints(v2_proof):

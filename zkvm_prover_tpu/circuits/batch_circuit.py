@@ -50,7 +50,7 @@ class BatchCircuit(AggCircuit):
         # 3. envelope decode + blob consistency + payload cross-checks.
         # Builder selection mirrors the reference's version dispatch
         # (builder/{v6,v7,validium}.rs via Codec/Domain).
-        if version.is_validium():
+        if version.is_validium:
             from ..types.batch.builder import build_batch_info_validium
 
             info = build_batch_info_validium(witness.inner)

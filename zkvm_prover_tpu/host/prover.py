@@ -158,11 +158,16 @@ class Prover:
         mproof = machine.prove_machine(instances, self.config.stark)
         proving_ms = (time.time() - t0) * 1e3
 
+        # deferral data: Merkle tree over input_commits (envelope parity
+        # with compute_deferral_data — crates/integration/src/lib.rs:461-514)
+        from .deferral import encode_deferral
+
         total_cycles = sum(int(i.trace.shape[0]) for i in instances)
         envelope = StarkProof(
             proof=serialization.encode_machine_proof(mproof),
             user_pvs_proof=pi_hash,
             baseline=self.get_app_vk(),
+            deferral_merkle_proofs=encode_deferral(input_commits),
             stat=StarkProofStat(
                 total_cycles=total_cycles,
                 execution_time_mills=int(exec_ms),

@@ -86,8 +86,12 @@ class UniversalVerifier:
             )
             from .app import app_for_vk
 
+            from ..recursion.aggregation import input_commit
+            from .deferral import decode_and_verify
+
             slots = []
             children = []
+            commits = []
             for rec in proof.agg_children:
                 child_app = app_for_vk(rec.vk)
                 if child_app is None:
@@ -95,6 +99,12 @@ class UniversalVerifier:
                 slot = ChildSlot(child_app.airs(), rec.log_ns, stark)
                 slots.append(slot)
                 children.append((slot.vk_words, rec.pvs))
+                commits.append(input_commit(slot.vk_words, rec.pvs))
+            # input_commits + deferral Merkle data must match the children
+            if proof.input_commits != commits:
+                return False
+            if not decode_and_verify(proof.deferral_merkle_proofs, commits):
+                return False
             airs = airs + child_verification_airs(TAG_LEAF, slots)
             if len(mproof.meta) != len(airs):
                 return False

@@ -299,20 +299,16 @@ class CircuitBuilder:
             main_p[r, PO.VOUT:PO.VOUT + 16] = [v[0] for v in vout]
             pose_inputs.append([v[0] for v in vin])
 
-        # Poseidon2 lookup table: dedup inputs, full-bus multiplicities
-        uniq: Dict[bytes, Tuple[List[int], int]] = {}
-        for vin in pose_inputs:
-            key = np.asarray(vin, dtype=np.uint32).tobytes()
-            if key in uniq:
-                uniq[key] = (uniq[key][0], uniq[key][1] + 1)
-            else:
-                uniq[key] = (vin, 1)
-        if uniq:
-            p_in = np.array([v[0] for v in uniq.values()], dtype=np.uint32)
-            p_mf = np.array([v[1] for v in uniq.values()], dtype=np.uint32)
+        # Poseidon2 lookup table: ONE ROW PER CALL (no dedup) so the table
+        # height is a pure function of the program — shape stability is vk
+        # material for recursion over recursion proofs (a dummy-oracle
+        # build would otherwise collapse duplicate all-zero states and
+        # produce a different machine shape than a real proof).
+        if pose_inputs:
+            p_in = np.array(pose_inputs, dtype=np.uint32)
         else:
             p_in = np.zeros((0, 16), dtype=np.uint32)
-            p_mf = np.zeros(0, dtype=np.uint32)
+        p_mf = np.ones(len(p_in), dtype=np.uint32)
         p_tr = Poseidon2Air.generate_trace(
             p_in, np.zeros(len(p_in), dtype=np.uint32), p_mf
         )

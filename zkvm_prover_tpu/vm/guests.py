@@ -44,7 +44,9 @@ def hash_reveal_program() -> List[int]:
         asm.add("t1", "t1", "s3"),
         asm.sw("t0", "t1", 0),
         asm.addi("s0", "s0", 1),
-        ("jal", "zero", "loop"),
+        # loop back with an always-taken branch (v2 forbids rd=x0 writes,
+        # so `jal zero` is unavailable)
+        ("branch", asm.beq, "zero", "zero", "loop"),
         ("label", "done"),
         # keccak256(MSG_BASE, L, OUT_BASE)
         *asm.li("a0", MSG_BASE),
