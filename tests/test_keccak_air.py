@@ -101,6 +101,27 @@ def test_tampered_output_fails():
     assert errs != []
 
 
+def test_padded_blocks_satisfy_constraints():
+    """Regression: the preprocessed schedule flags every n//24 block, so
+    blocks not filled by a real permutation must carry the zero-state
+    permutation (mult 0) — all-zero rows violate the ungated iota
+    constraint. 3 states at log_n=7 leaves 2 flagged blocks to pad."""
+    states3 = STATES + [[(7 * i + 1) & ((1 << 64) - 1) for i in range(25)]]
+    kec = KeccakfAir(log_n=7)  # 128 rows -> 5 flagged blocks, 2 padded
+    trace = kec.generate_trace(states3, [1] * len(states3))
+    errs = debug.check_constraints(kec, trace, [])
+    assert errs == [], errs[:5]
+    # padded blocks must not touch the bus
+    from zkvm_prover_tpu.models import keccak_air as K
+
+    for p in range(3, 5):
+        assert trace[p * NUM_ROUNDS + NUM_ROUNDS - 1, K.MULT] == 0
+    # and the bus still balances against the 3 real queries
+    q = _QueryAir()
+    qt = _QueryAir.generate_trace(states3)
+    assert debug.check_bus_balance([(kec, trace), (q, qt)], {}) == {}
+
+
 def test_prove_verify_keccak_machine():
     insts = _instances()
     proof = machine.prove_machine(insts, TINY)

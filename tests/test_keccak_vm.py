@@ -50,10 +50,12 @@ def run_guest(msg: bytes):
     return ex, air_traces
 
 
-MSGS = [b"", b"hello keccak on tpu!", b"\xab" * 150]
+MSGS = [b"", b"hello keccak on tpu!", b"\xab" * 150, b"\xcd" * 300]
 
 
-@pytest.mark.parametrize("msg", MSGS, ids=["empty", "short", "two-block"])
+@pytest.mark.parametrize(
+    "msg", MSGS, ids=["empty", "short", "two-block", "three-block"]
+)
 def test_syscall_digest_and_constraints(msg):
     ex, air_traces = run_guest(msg)
     digest = b"".join(

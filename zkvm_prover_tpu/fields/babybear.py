@@ -51,11 +51,32 @@ MASK16 = np.uint32(0xFFFF)
 # (tracers, device arrays, python scalars mixed with jax) goes through jnp.
 _NP_TYPES = (np.ndarray, np.generic, int, np.integer)
 
-# Unsigned wraparound is the *mechanism* of every kernel here (Montgomery
-# REDC, borrow chains). numpy arrays wrap silently but numpy SCALARS emit
-# RuntimeWarnings — silence integer-overflow warnings process-wide so the
-# scalar boundary cases behave like the array paths.
-np.seterr(over="ignore")
+# Unsigned wraparound is the *mechanism* of the kernels here (Montgomery
+# REDC, borrow chains). numpy arrays (ndim >= 1) wrap silently, but numpy
+# SCALARS and 0-d arrays emit RuntimeWarnings. Rather than flipping
+# process-wide np.seterr (a global side effect that would mask real
+# overflow bugs in unrelated importer code), scope the suppression to
+# scalar-shaped invocations of the wraparound kernels: the array hot path
+# pays only an isinstance/ndim check.
+def _scalar_overflow_ok(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args):
+        for a in args:
+            if isinstance(a, np.ndarray):
+                if a.ndim == 0:
+                    break  # 0-d: intermediates become warning scalars
+            elif isinstance(a, (int, np.integer)):
+                break
+            else:
+                return fn(*args)  # jax types: no numpy warnings
+        else:
+            return fn(*args)  # all args are >=1-d numpy arrays
+        with np.errstate(over="ignore"):
+            return fn(*args)
+
+    return wrapper
 
 
 def _mod(*xs):
@@ -77,6 +98,7 @@ def _cast(m, x):
 # 32x32 -> 64 multiply emulated with 16-bit limbs (4 exact uint32 multiplies)
 # ---------------------------------------------------------------------------
 
+@_scalar_overflow_ok
 def mul32_wide(a, b):
     """Full 64-bit product of two uint32 arrays, returned as (hi, lo) uint32."""
     m = _mod(a, b)
@@ -99,6 +121,7 @@ def mul32_wide(a, b):
     return hi, lo
 
 
+@_scalar_overflow_ok
 def mul32_lo(a, b):
     """Low 32 bits of a*b (3 exact multiplies)."""
     m = _mod(a, b)
@@ -115,6 +138,7 @@ def mul32_lo(a, b):
 # Montgomery arithmetic. All values in [0, p).
 # ---------------------------------------------------------------------------
 
+@_scalar_overflow_ok
 def mont_reduce(hi, lo):
     """REDC: given t = hi*2^32 + lo < p*2^32, return t * R^{-1} mod p."""
     xp = _mod(hi, lo)
@@ -132,12 +156,14 @@ def mul(a, b):
     return mont_reduce(hi, lo)
 
 
+@_scalar_overflow_ok
 def add(a, b):
     xp = _mod(a, b)
     s = _cast(xp, a) + _cast(xp, b)  # both < p < 2^31 — no wraparound
     return xp.where(s >= np.uint32(P), s - np.uint32(P), s)
 
 
+@_scalar_overflow_ok
 def sub(a, b):
     xp = _mod(a, b)
     a = _cast(xp, a)

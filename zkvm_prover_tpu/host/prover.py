@@ -140,8 +140,13 @@ class Prover:
                     raise ProverError("unknown child app vk")
                 mp = serialization.decode_machine_proof(child.proof)
                 log_ns = [ln for (ln, _, _) in mp.meta]
+                # airs_for_meta, not airs(): VM-app children carry
+                # height-dependent preprocessed schedules (KeccakfAir), and
+                # the slot's vk/preprocessed roots must match the child
+                # proof's actual table heights.
                 slot = ChildSlot(
-                    child_app.airs(), log_ns, self.config.stark
+                    child_app.airs_for_meta(mp.meta), log_ns,
+                    self.config.stark
                 )
                 slots.append(slot)
                 oracles.append(RealOracle(mp))
@@ -191,6 +196,14 @@ class Prover:
         return envelope
 
     def gen_proof_snark(self, task: ProvingTask):
-        raise NotImplementedError(
-            "BN254 SNARK wrapper lands in a later phase (ROADMAP Phase 7)"
+        """STARK proof -> EvmProof through the BN254 PLONK wrapper
+        (gen_proof_snark analog, crates/prover/src/prover/mod.rs:419-432).
+        The root STARK is produced and self-verified first; the wrapper
+        binds (vk, PI hash, proof bytes) into the on-chain instance
+        layout (see snark/wrapper.py for the in-circuit statement)."""
+        from ..snark import wrapper as snark_wrapper
+
+        stark = self.gen_proof_stark(task)
+        return snark_wrapper.wrap_stark_proof(
+            self.get_app_vk(), stark.proof, stark.user_pvs_proof
         )

@@ -63,13 +63,27 @@ class _VmHashApp(CircuitApp):
     def airs(self):
         return self.airs_for_meta(None)
 
+    # cap on the claimed keccak-table height: 2^20 rows (~43k permutations)
+    # is far beyond any hash-reveal guest; an unvalidated claim would let a
+    # hostile envelope allocate a 2^claimed-row preprocessed trace before
+    # any check fails (memory DoS).
+    MAX_KECCAK_LOG_N = 20
+
     def airs_for_meta(self, meta):
         """AIR list matching generate_traces output order; KeccakfAir's
-        preprocessed schedule depends on its height, read from `meta`."""
+        preprocessed schedule depends on its height, read from `meta`.
+        `meta` is untrusted — malformed shapes/heights raise ValueError
+        (the host verifier maps that to a clean False)."""
         kec_log_n = 5
         if meta is not None:
-            assert len(meta) >= N_MACHINE_AIRS, "not a VM machine proof"
-            kec_log_n = meta[KECCAKF_IDX][0]
+            if len(meta) < N_MACHINE_AIRS:
+                raise ValueError("not a VM machine proof")
+            kec_log_n = int(meta[KECCAKF_IDX][0])
+            if not 5 <= kec_log_n <= self.MAX_KECCAK_LOG_N:
+                raise ValueError(
+                    f"claimed keccak table height 2^{kec_log_n} out of "
+                    f"bounds"
+                )
         return [
             rv32_v2.AluAir(), rv32_v2.ShiftAir(), rv32_v2.BranchAir(),
             rv32_v2.JumpAir(), rv32_v2.LoadStoreAir(), rv32_v2.MulAir(),
@@ -105,7 +119,8 @@ class _VmHashApp(CircuitApp):
     def pi_hash_from_meta(self, metas) -> bytes:
         (_, _, pvs) = metas[PV_IDX]
         n = rv32_v2.N_PV_WORDS
-        assert list(pvs[4 * n :]) == [1] * n, "all PV words must be revealed"
+        if len(pvs) < 5 * n or list(pvs[4 * n : 5 * n]) != [1] * n:
+            raise ValueError("all PV words must be revealed")
         return bytes(int(v) & 0xFF for v in pvs[: 4 * n])
 
 

@@ -59,11 +59,22 @@ class UniversalVerifier:
                     break
             if app is None:
                 return False
+        # Everything below operates on the untrusted proof envelope: a
+        # malformed or hostile encoding must yield a clean False, never an
+        # assertion/index error escaping to the caller (the reference
+        # verifier returns Result the same way, verifier.rs:60-92).
         try:
-            mproof = serialization.decode_machine_proof(proof.proof)
+            return UniversalVerifier._verify_decoded(
+                vk, proof, stark or StarkConfig(), app
+            )
         except Exception:
             return False
-        stark = stark or StarkConfig()
+
+    @staticmethod
+    def _verify_decoded(
+        vk: bytes, proof: StarkProof, stark: StarkConfig, app
+    ) -> bool:
+        mproof = serialization.decode_machine_proof(proof.proof)
         airs = app.airs_for_meta(mproof.meta)
         n_app = len(airs)
         # bind the revealed PI hash to the public values inside the proof
@@ -96,7 +107,12 @@ class UniversalVerifier:
                 child_app = app_for_vk(rec.vk)
                 if child_app is None:
                     return False
-                slot = ChildSlot(child_app.airs(), rec.log_ns, stark)
+                # rebuild the child's AIR list at its claimed heights
+                # (VM apps have height-dependent preprocessed schedules)
+                meta_like = [(int(ln), None, []) for ln in rec.log_ns]
+                slot = ChildSlot(
+                    child_app.airs_for_meta(meta_like), rec.log_ns, stark
+                )
                 slots.append(slot)
                 children.append((slot.vk_words, rec.pvs))
                 commits.append(input_commit(slot.vk_words, rec.pvs))
@@ -119,10 +135,13 @@ class UniversalVerifier:
         return machine.verify_machine(airs, mproof, stark)
 
     def verify_evm_proof(self, proof: EvmProof) -> bool:
-        raise NotImplementedError(
-            "EVM (SNARK) verification lands with the BN254 wrapper "
-            "(ROADMAP Phase 7)"
-        )
+        """EvmProof verification (verify_evm_proof analog,
+        crates/verifier/src/evm.rs:38-43): PLONK verify (host + generated
+        EVM bytecode under the mini-EVM simulator), instance/vk binding,
+        and the deferred KZG accumulator pairing."""
+        from ..snark import wrapper as snark_wrapper
+
+        return snark_wrapper.verify_evm_proof(self.app.vk_bytes(), proof)
 
     def dump_vk(self, assets_dir: str) -> None:
         Path(assets_dir).mkdir(parents=True, exist_ok=True)

@@ -289,6 +289,16 @@ class KeccakfAir(Air):
             r0 = p * NUM_ROUNDS
             trace[r0 : r0 + NUM_ROUNDS, :] = rows
             trace[r0 + NUM_ROUNDS - 1, MULT] = mult
+        # Every block the preprocessed schedule flags must hold a valid
+        # permutation: the ungated iota constraint forces
+        # A_PPP_00 = recompose(bits ^ RC) != 0 on flagged rows, so all-zero
+        # rows there are unsatisfiable. Pad unused flagged blocks with the
+        # zero-state permutation at multiplicity 0 (computed once, tiled).
+        n_blocks = n // NUM_ROUNDS
+        if len(states) < n_blocks:
+            pad = self._perm_rows([0] * 25)
+            for p in range(len(states), n_blocks):
+                trace[p * NUM_ROUNDS : (p + 1) * NUM_ROUNDS, :] = pad
         return trace
 
     @staticmethod
