@@ -377,6 +377,112 @@ def pairing_check(pairs: Sequence[Tuple[G2pt, G1]]) -> bool:
 # --- MSM (host Pippenger; correctness baseline for the TPU kernel) ---------
 
 
+# --- Jacobian coordinates (inversion-free adds for the hot MSM path) -------
+
+JPoint = Optional[Tuple[int, int, int]]  # (X, Y, Z); affine = (X/Z^2, Y/Z^3)
+
+
+def _jac_from_affine(p: G1) -> JPoint:
+    return None if p is None else (p[0], p[1], 1)
+
+
+def _jac_to_affine(p: JPoint) -> G1:
+    if p is None or p[2] == 0:
+        return None
+    zinv = pow(p[2], Q - 2, Q)
+    zinv2 = zinv * zinv % Q
+    return (p[0] * zinv2 % Q, p[1] * zinv2 % Q * zinv % Q)
+
+
+def _jac_double(p: JPoint) -> JPoint:
+    if p is None:
+        return None
+    x, y, z = p
+    if y == 0:
+        return None
+    a = x * x % Q
+    b = y * y % Q
+    c = b * b % Q
+    d = 2 * ((x + b) * (x + b) - a - c) % Q
+    e = 3 * a % Q
+    f = e * e % Q
+    x3 = (f - 2 * d) % Q
+    y3 = (e * (d - x3) - 8 * c) % Q
+    z3 = 2 * y * z % Q
+    return (x3, y3, z3)
+
+
+def _jac_add(p: JPoint, q: JPoint) -> JPoint:
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = z1 * z1 % Q
+    z2z2 = z2 * z2 % Q
+    u1 = x1 * z2z2 % Q
+    u2 = x2 * z1z1 % Q
+    s1 = y1 * z2 % Q * z2z2 % Q
+    s2 = y2 * z1 % Q * z1z1 % Q
+    if u1 == u2:
+        if s1 != s2:
+            return None
+        return _jac_double(p)
+    h = (u2 - u1) % Q
+    i = 4 * h * h % Q
+    j = h * i % Q
+    r = 2 * (s2 - s1) % Q
+    v = u1 * i % Q
+    x3 = (r * r - j - 2 * v) % Q
+    y3 = (r * (v - x3) - 2 * s1 * j) % Q
+    z3 = 2 * h % Q * z1 % Q * z2 % Q
+    return (x3, y3, z3)
+
+
+def msm_jac(points: Sequence[G1], scalars: Sequence[int],
+            window: int = 8) -> G1:
+    """Pippenger with Jacobian accumulation — no per-add inversion; the
+    PLONK prover's commitment path (one inversion total per MSM)."""
+    assert len(points) == len(scalars)
+    scalars = [s % R for s in scalars]
+    jpts = [_jac_from_affine(p) for p in points]
+    n_bits = R.bit_length()
+    n_windows = -(-n_bits // window)
+    total: JPoint = None
+    mask = (1 << window) - 1
+    for wi in range(n_windows - 1, -1, -1):
+        if total is not None:
+            for _ in range(window):
+                total = _jac_double(total)
+        buckets: List[JPoint] = [None] * (1 << window)
+        shift = wi * window
+        for pnt, s in zip(jpts, scalars):
+            idx = (s >> shift) & mask
+            if idx:
+                buckets[idx] = _jac_add(buckets[idx], pnt)
+        run: JPoint = None
+        acc: JPoint = None
+        for idx in range(mask, 0, -1):
+            run = _jac_add(run, buckets[idx])
+            acc = _jac_add(acc, run)
+        total = _jac_add(total, acc)
+    return _jac_to_affine(total)
+
+
+def g1_mul_jac(p: G1, k: int) -> G1:
+    """Scalar mul through Jacobian doubling (one inversion total)."""
+    k %= R
+    out: JPoint = None
+    add = _jac_from_affine(p)
+    while k:
+        if k & 1:
+            out = _jac_add(out, add)
+        add = _jac_double(add)
+        k >>= 1
+    return _jac_to_affine(out)
+
+
 def msm(points: Sequence[G1], scalars: Sequence[int], window: int = 8) -> G1:
     """Pippenger bucket method over affine G1."""
     assert len(points) == len(scalars)
@@ -418,17 +524,32 @@ class KzgSrs:
 
     @classmethod
     def generate_insecure(cls, k: int, tau: int) -> "KzgSrs":
+        # fixed-base: precompute [2^j]G once, then each [tau^i]G is a
+        # ~128-add bit-sum instead of a full double-and-add ladder.
+        table: List[JPoint] = []
+        d = _jac_from_affine(G1_GEN)
+        for _ in range(R.bit_length()):
+            table.append(d)
+            d = _jac_double(d)
         powers = []
         acc = 1
         for _ in range(1 << k):
-            powers.append(g1_mul(G1_GEN, acc))
+            s = acc
+            out: JPoint = None
+            j = 0
+            while s:
+                if s & 1:
+                    out = _jac_add(out, table[j])
+                s >>= 1
+                j += 1
+            powers.append(_jac_to_affine(out))
             acc = acc * tau % R
         return cls(powers, g2_mul(G2_GEN, tau))
 
 
 def kzg_commit(srs: KzgSrs, coeffs: Sequence[int]) -> G1:
     assert len(coeffs) <= len(srs.g1_powers)
-    return msm(srs.g1_powers[: len(coeffs)], list(coeffs))
+    return msm_jac(srs.g1_powers[: len(coeffs)], list(coeffs))
 
 
 def kzg_open(srs: KzgSrs, coeffs: Sequence[int], z: int) -> Tuple[int, G1]:
@@ -442,7 +563,7 @@ def kzg_open(srs: KzgSrs, coeffs: Sequence[int], z: int) -> Tuple[int, G1]:
     for i in range(len(coeffs) - 1, 0, -1):
         carry = (coeffs[i] + carry * z) % R
         quot[i - 1] = carry
-    proof = msm(srs.g1_powers[: len(quot)], quot) if quot else None
+    proof = msm_jac(srs.g1_powers[: len(quot)], quot) if quot else None
     return y, proof
 
 
