@@ -1,0 +1,328 @@
+"""Stateless block execution layer (sbv/revm analog): MPT state, EVM
+interpreter, transaction execution, block sealing/verification, and the
+chunk-level fold into ChunkInfo.
+
+Reference analog: crates/types/chunk/src/scroll/execute.rs:21-91 via
+sbv_core::verifier::run."""
+
+import pytest
+
+from zkvm_prover_tpu.execution import block as blk
+from zkvm_prover_tpu.execution import mpt, rlp
+from zkvm_prover_tpu.execution.interpreter import (
+    BlockCtx,
+    Message,
+    TxCtx,
+    execute_message,
+)
+from zkvm_prover_tpu.execution.state import Account, WorldState
+from zkvm_prover_tpu.ops.keccak import keccak256
+from zkvm_prover_tpu.types.chunk.crypto.weierstrass import SECP256K1 as C
+
+# --- test identities -------------------------------------------------------
+
+ALICE_PRIV = 0xA11CE
+BOB = b"\xB0" * 20
+COINBASE = b"\xFE" * 20
+
+
+def _priv_to_addr(priv: int) -> bytes:
+    q = C.mul(priv, C.generator())
+    pub = q[0].to_bytes(32, "big") + q[1].to_bytes(32, "big")
+    return keccak256(pub)[12:]
+
+
+ALICE = _priv_to_addr(ALICE_PRIV)
+
+# SSTORE(0, CALLDATALOAD(0)); STOP
+SETTER_CODE = bytes.fromhex("60003560005500")
+SETTER = b"\xC0\xDE" + b"\x00" * 18
+
+
+def _sign(tx: blk.Tx, priv: int) -> blk.Tx:
+    z = int.from_bytes(tx.sign_hash(), "big") % C.n
+    k = int.from_bytes(keccak256(tx.sign_hash()
+                                 + priv.to_bytes(32, "big")), "big") % C.n
+    while True:
+        R = C.mul(k, C.generator())
+        r = R[0] % C.n
+        s = pow(k, C.n - 2, C.n) * (z + r * priv) % C.n
+        if r and s:
+            break
+        k += 1
+    rec = R[1] & 1
+    if s > C.n // 2:  # low-s normalization flips recovery parity
+        s = C.n - s
+        rec ^= 1
+    if tx.tx_type == 0:
+        tx.v = rec + 35 + 2 * tx.chain_id if tx.chain_id else rec + 27
+    else:
+        tx.v = rec
+    tx.r, tx.s = r, s
+    return tx
+
+
+def _genesis():
+    """Full genesis trie + code store: Alice funded, setter contract,
+    withdraw-queue predeploy with a non-zero root in slot 0."""
+    trie = mpt.Mpt(mpt.EMPTY_ROOT)
+    codes = {}
+
+    def put_account(addr, acct):
+        trie.update(mpt.secure_key(addr), acct.rlp())
+
+    put_account(ALICE, Account(nonce=0, balance=10**18))
+    code_hash = keccak256(SETTER_CODE)
+    codes[code_hash] = SETTER_CODE
+    put_account(SETTER, Account(code_hash=code_hash))
+    # withdraw predeploy: storage slot 0 = 0xAB..  (own storage trie)
+    st = mpt.Mpt(mpt.EMPTY_ROOT, trie.nodes)
+    st.update(mpt.secure_key((0).to_bytes(32, "big")),
+              rlp.encode_int(0xAB
+                             << 248))
+    put_account(blk.WITHDRAW_QUEUE_ADDRESS,
+                Account(storage_root=st.root))
+    return trie, codes
+
+
+def _mk_txs(chain_id=534352):
+    t1 = _sign(blk.Tx(tx_type=0, nonce=0, gas_limit=21000, to=BOB,
+                      value=12345, data=b"", gas_price=10,
+                      chain_id=chain_id), ALICE_PRIV)
+    t2 = _sign(blk.Tx(tx_type=2, nonce=1, gas_limit=100000, to=SETTER,
+                      value=0, data=(77).to_bytes(32, "big"),
+                      max_fee=100, max_priority_fee=2,
+                      chain_id=chain_id), ALICE_PRIV)
+    t3 = blk.Tx(tx_type=blk.L1_MSG_TX_TYPE, nonce=0, gas_limit=100000,
+                to=BOB, value=0, data=b"", sender=b"\x11" * 20)
+    return [t1, t2, t3]
+
+
+def _seal_block(trie, codes, txs, number=1, base_fee=1):
+    """Oracle pass over the full trie to produce a valid sealed header."""
+    state = WorldState(trie.root, dict(trie.nodes), dict(codes))
+    block = BlockCtx(number=number, timestamp=1000 + number,
+                     coinbase=COINBASE, gas_limit=30_000_000,
+                     base_fee=base_fee)
+    receipts, gas = [], 0
+    for tx in txs:
+        r, g = blk.execute_tx(state, block, tx, gas)
+        gas += g
+        receipts.append(r)
+    post_root = state.state_root()
+    hdr = blk.Header(
+        parent_hash=b"\x33" * 32,
+        coinbase=COINBASE,
+        state_root=post_root,
+        transactions_root=blk._ordered_trie_root(
+            [t.encode() for t in txs]),
+        receipts_root=blk._ordered_trie_root(
+            [r.encode() for r in receipts]),
+        number=number,
+        gas_limit=30_000_000,
+        gas_used=gas,
+        timestamp=1000 + number,
+        base_fee_per_gas=base_fee,
+    )
+    return hdr, state
+
+
+def _collect_witness(trie, codes, touched_addrs, touched_storage):
+    nodes = {}
+    for addr in touched_addrs:
+        for n in trie.collect_path_nodes(mpt.secure_key(addr)):
+            nodes[keccak256(n)] = n
+    for addr, slots in touched_storage.items():
+        raw = trie.get(mpt.secure_key(addr))
+        if raw is None:
+            continue
+        acct = Account.from_rlp(raw)
+        st = mpt.Mpt(acct.storage_root, trie.nodes)
+        for slot in slots:
+            for n in st.collect_path_nodes(
+                    mpt.secure_key(slot.to_bytes(32, "big"))):
+                nodes[keccak256(n)] = n
+    return nodes
+
+
+@pytest.fixture()
+def sealed():
+    trie, codes = _genesis()
+    txs = _mk_txs()
+    hdr, _oracle = _seal_block(trie, codes, txs)
+    touched = [ALICE, BOB, SETTER, COINBASE, b"\x11" * 20,
+               blk.WITHDRAW_QUEUE_ADDRESS]
+    nodes = _collect_witness(trie, codes, touched,
+                             {SETTER: [0],
+                              blk.WITHDRAW_QUEUE_ADDRESS: [0]})
+    witness = blk.BlockWitness(header=hdr, txs=txs, state_nodes=nodes,
+                               codes=dict(codes))
+    return trie, witness
+
+
+def test_execute_block_from_partial_witness(sealed):
+    trie, witness = sealed
+    summaries, pre, post, wroot = blk.execute_chunk_blocks(
+        [witness], trie.root)
+    assert pre == trie.root
+    assert post == witness.header.state_root
+    assert summaries[0].gas_used == witness.header.gas_used
+    assert summaries[0].block_hash == witness.header.block_hash()
+    assert wroot[0] == 0xAB  # predeploy slot surfaced as withdraw root
+    # L1 msg hash recorded, l2 txs exclude it
+    assert len(summaries[0].l1_msg_hashes) == 1
+    assert len(summaries[0].encoded_l2_txs) == 2
+
+
+def test_execution_updates_balances_and_storage(sealed):
+    trie, witness = sealed
+    _, post, state = blk.execute_block(witness, trie.root)
+    assert post == witness.header.state_root
+    # bob got the transfer
+    assert state.get_balance(BOB) == 12345
+    # setter stored calldata word
+    assert state.get_storage(SETTER, 0) == 77
+    # alice paid: value + fees; nonce advanced twice
+    assert state.get_nonce(ALICE) == 2
+    assert state.get_balance(ALICE) < 10**18 - 12345
+
+
+def test_tampered_header_rejected(sealed):
+    trie, witness = sealed
+    import copy
+
+    for fieldname, delta in [("gas_used", 1), ("state_root", None),
+                             ("transactions_root", None),
+                             ("receipts_root", None)]:
+        w = copy.deepcopy(witness)
+        if delta is not None:
+            setattr(w.header, fieldname,
+                    getattr(w.header, fieldname) + delta)
+        else:
+            v = bytearray(getattr(w.header, fieldname))
+            v[0] ^= 1
+            setattr(w.header, fieldname, bytes(v))
+        with pytest.raises(blk.ExecutionError):
+            blk.execute_chunk_blocks([w], trie.root)
+
+
+def test_missing_witness_node_detected(sealed):
+    trie, witness = sealed
+    import copy
+
+    w = copy.deepcopy(witness)
+    w.state_nodes = {}
+    with pytest.raises(mpt.MissingNode):
+        blk.execute_chunk_blocks([w], trie.root)
+
+
+def test_bad_signature_rejected(sealed):
+    trie, witness = sealed
+    import copy
+
+    w = copy.deepcopy(witness)
+    w.txs[0].r ^= 1
+    with pytest.raises((blk.ExecutionError, ValueError)):
+        blk.execute_chunk_blocks([w], trie.root)
+
+
+def test_sender_recovery_roundtrip():
+    tx = _sign(blk.Tx(tx_type=0, nonce=0, gas_limit=21000, to=BOB,
+                      value=1, data=b"", gas_price=10, chain_id=534352),
+               ALICE_PRIV)
+    assert tx.recover_sender() == ALICE
+    tx2 = _sign(blk.Tx(tx_type=2, nonce=5, gas_limit=50000, to=None,
+                       value=0, data=b"\x00", max_fee=30,
+                       max_priority_fee=1, chain_id=534352), ALICE_PRIV)
+    assert tx2.recover_sender() == ALICE
+
+
+def test_evm_call_semantics():
+    """CREATE + storage + revert rollback in one flow."""
+    state = WorldState(mpt.EMPTY_ROOT, {}, {})
+    state.add_balance(ALICE, 10**18)
+    block = BlockCtx()
+    txctx = TxCtx(origin=ALICE)
+    # deploy the setter via CREATE: initcode returns SETTER_CODE
+    init = (bytes.fromhex("66")  # PUSH7 code
+            + SETTER_CODE
+            + bytes.fromhex("5F5260076019F3"))  # MSTORE; RETURN(25,7)
+    res = execute_message(
+        state, block, txctx,
+        Message(caller=ALICE, to=None, value=0, data=init, gas=200000))
+    assert res.success and res.created is not None
+    created = res.created
+    assert state.get_code(created) == SETTER_CODE
+    # call it
+    res2 = execute_message(
+        state, block, txctx,
+        Message(caller=ALICE, to=created, value=0,
+                data=(42).to_bytes(32, "big"), gas=100000))
+    assert res2.success
+    assert state.get_storage(created, 0) == 42
+    # REVERT rolls the write back: code = SSTORE(0, 7); REVERT(0,0)
+    rev_code = bytes.fromhex("600760005560006000FD")
+    h = keccak256(rev_code)
+    state.codes[h] = rev_code
+    raddr = b"\xEE" * 20
+    state.create_account(raddr)
+    state.accounts[raddr].code_hash = h
+    res3 = execute_message(
+        state, block, txctx,
+        Message(caller=ALICE, to=raddr, value=0, data=b"", gas=100000))
+    assert not res3.success
+    assert state.get_storage(raddr, 0) == 0  # rolled back
+
+
+def test_precompiles_in_call():
+    """STATICCALL into sha256 precompile from bytecode."""
+    state = WorldState(mpt.EMPTY_ROOT, {}, {})
+    import hashlib
+
+    # store "abc" at mem 0, staticcall 0x02 with 3 bytes, return 32 bytes
+    code = bytes.fromhex(
+        "7f" + b"abc".ljust(32, b"\x00").hex()  # PUSH32 "abc..."
+        + "5f52"                                  # MSTORE(0)
+        + "60205f60035f6002612710fa50"            # STATICCALL
+        + "60205ff3"                              # RETURN(0,32)
+    )
+    h = keccak256(code)
+    state.codes[h] = code
+    addr = b"\xDD" * 20
+    state.create_account(addr)
+    state.accounts[addr].code_hash = h
+    res = execute_message(
+        state, BlockCtx(), TxCtx(),
+        Message(caller=ALICE, to=addr, value=0, data=b"", gas=100000))
+    assert res.success
+    assert res.output == hashlib.sha256(b"abc").digest()
+
+
+def test_chunk_info_from_real_execution(sealed):
+    """Full path: witness -> execution -> ChunkWitness -> ChunkInfo."""
+    from zkvm_prover_tpu.types.base.fork_name import ForkName
+    from zkvm_prover_tpu.types.chunk.witness import (
+        ChunkWitness,
+        chunk_info_from_execution,
+    )
+
+    trie, witness = sealed
+    summaries, pre, post, wroot = blk.execute_chunk_blocks(
+        [witness], trie.root)
+    cw = ChunkWitness(
+        version=8,
+        blocks=summaries,
+        prev_msg_queue_hash=b"\x00" * 32,
+        fork_name=ForkName.EUCLID_V2,
+        prev_state_root=pre,
+        post_state_root=post,
+        withdraw_root=wroot,
+        prev_blockhash=witness.header.parent_hash,
+    )
+    info = chunk_info_from_execution(cw)
+    assert info.post_state_root == witness.header.state_root
+    assert info.withdraw_root == wroot
+    assert info.tx_data_length > 0
+    assert info.block_ctxs[0].num_txs == 3
+    assert info.block_ctxs[0].num_l1_msgs == 1
+    assert info.post_blockhash == witness.header.block_hash()

@@ -99,7 +99,14 @@ def _shift_for(log_m: int, log_max: int, g: int) -> int:
 # Below this element count, the host numpy path beats device dispatch +
 # per-shape XLA compile for the NTT/commit kernels (the round-2 "per-proof
 # overhead" fix); production-size traces still run on the TPU.
-_DEVICE_MIN_ELEMS = 1 << 17
+# Env-tunable: on tunneled single-chip setups (axon) where host<->device
+# readback runs ~180 KB/s, forcing a huge threshold keeps mixed-phase
+# proofs entirely on the host; multi-host production keeps the default.
+import os as _os
+
+_DEVICE_MIN_ELEMS = int(
+    _os.environ.get("ZKVM_TPU_DEVICE_MIN_ELEMS", 1 << 17)
+)
 
 
 def _dev(x):
