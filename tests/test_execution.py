@@ -298,6 +298,42 @@ def test_precompiles_in_call():
     assert res.output == hashlib.sha256(b"abc").digest()
 
 
+def test_chunk_circuit_reexecutes_block_witnesses(sealed):
+    """ChunkCircuit.validate with full block witnesses: serialize ->
+    deserialize -> re-execute -> ChunkInfo; a tampered header must fail
+    validation (the reference execute() path, main.rs:14-29)."""
+    from zkvm_prover_tpu.circuits.chunk_circuit import ChunkCircuit
+    from zkvm_prover_tpu.types.base.fork_name import ForkName
+    from zkvm_prover_tpu.types.chunk.witness import ChunkWitness
+
+    from zkvm_prover_tpu.types.base.version import Version
+
+    trie, witness = sealed
+    cw = ChunkWitness(
+        version=Version.euclid_v2().as_version_byte(),
+        blocks=[],  # derived by re-execution
+        prev_msg_queue_hash=b"\x00" * 32,
+        fork_name=ForkName.EUCLID_V2,
+        prev_state_root=trie.root,
+        block_witnesses=[witness],
+    )
+    raw = ChunkCircuit.serialize_witness(cw)
+    rt = ChunkCircuit.deserialize_witness(raw)
+    info, version = ChunkCircuit.validate(rt)
+    assert info.post_state_root == witness.header.state_root
+    assert info.block_ctxs[0].num_txs == 3
+    # tamper: header gas_used
+    rt2 = ChunkCircuit.deserialize_witness(raw)
+    rt2.block_witnesses[0].header.gas_used += 1
+    with pytest.raises(Exception):
+        ChunkCircuit.validate(rt2)
+    # tamper: claimed post root contradicting execution
+    rt3 = ChunkCircuit.deserialize_witness(raw)
+    rt3.post_state_root = b"\x01" * 32
+    with pytest.raises(Exception):
+        ChunkCircuit.validate(rt3)
+
+
 def test_chunk_info_from_real_execution(sealed):
     """Full path: witness -> execution -> ChunkWitness -> ChunkInfo."""
     from zkvm_prover_tpu.types.base.fork_name import ForkName

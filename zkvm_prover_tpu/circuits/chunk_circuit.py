@@ -12,7 +12,8 @@ from ..types.chunk.witness import (
     BlockExecutionSummary,
     ChunkWitness,
     ValidiumInputs,
-    chunk_info_from_execution,
+    chunk_info_from_execution,  # noqa: F401 (summary-only fold)
+    execute_and_fold,
 )
 from ..types.base.fork_name import ForkName
 from .circuit import Circuit
@@ -52,6 +53,10 @@ class ChunkCircuit(Circuit):
                 for b in w.blocks
             ],
         }
+        if w.block_witnesses:
+            d["block_witnesses"] = [
+                _encode_block_witness(bw) for bw in w.block_witnesses
+            ]
         return json.dumps(d, sort_keys=True).encode()
 
     @classmethod
@@ -81,6 +86,10 @@ class ChunkCircuit(Circuit):
                 )
                 for b in d["blocks"]
             ],
+            block_witnesses=[
+                _decode_block_witness(bw)
+                for bw in d.get("block_witnesses", [])
+            ] or None,
         )
 
     @classmethod
@@ -88,5 +97,85 @@ class ChunkCircuit(Circuit):
         version = Version.from_version_byte(witness.version)
         # version byte consistent with declared fork (circuit.rs:37-49)
         assert version.fork == witness.fork_name, "fork/version mismatch"
-        info = chunk_info_from_execution(witness)
+        # full execute() path: re-executes blocks when block witnesses
+        # are present (execute.rs:21-91); falls back to the summary fold
+        info = execute_and_fold(witness)
         return info, version
+
+
+# --- BlockWitness JSON codec ----------------------------------------------
+
+def _encode_block_witness(bw) -> dict:
+    h = bw.header
+    return {
+        "header": {
+            "parent_hash": h.parent_hash.hex(),
+            "coinbase": h.coinbase.hex(),
+            "state_root": h.state_root.hex(),
+            "transactions_root": h.transactions_root.hex(),
+            "receipts_root": h.receipts_root.hex(),
+            "number": h.number,
+            "gas_limit": h.gas_limit,
+            "gas_used": h.gas_used,
+            "timestamp": h.timestamp,
+            "base_fee_per_gas": h.base_fee_per_gas,
+            "extra_data": h.extra_data.hex(),
+        },
+        "txs": [
+            {
+                "tx_type": t.tx_type,
+                "nonce": t.nonce,
+                "gas_limit": t.gas_limit,
+                "to": t.to.hex() if t.to else None,
+                "value": t.value,
+                "data": t.data.hex(),
+                "gas_price": t.gas_price,
+                "max_fee": t.max_fee,
+                "max_priority_fee": t.max_priority_fee,
+                "chain_id": t.chain_id,
+                "v": t.v, "r": t.r, "s": t.s,
+                "sender": t.sender.hex() if t.sender else None,
+            }
+            for t in bw.txs
+        ],
+        "state_nodes": [n.hex() for n in bw.state_nodes.values()],
+        "codes": [c.hex() for c in bw.codes.values()],
+        "chain_id": bw.chain_id,
+    }
+
+
+def _decode_block_witness(d: dict):
+    from ..execution.block import BlockWitness, Header, Tx
+    from ..ops.keccak import keccak256
+
+    h = d["header"]
+    header = Header(
+        parent_hash=_b(h["parent_hash"]),
+        coinbase=_b(h["coinbase"]),
+        state_root=_b(h["state_root"]),
+        transactions_root=_b(h["transactions_root"]),
+        receipts_root=_b(h["receipts_root"]),
+        number=h["number"],
+        gas_limit=h["gas_limit"],
+        gas_used=h["gas_used"],
+        timestamp=h["timestamp"],
+        base_fee_per_gas=h["base_fee_per_gas"],
+        extra_data=_b(h.get("extra_data", "")),
+    )
+    txs = [
+        Tx(
+            tx_type=t["tx_type"], nonce=t["nonce"],
+            gas_limit=t["gas_limit"],
+            to=_b(t["to"]) if t["to"] else None,
+            value=t["value"], data=_b(t["data"]),
+            gas_price=t["gas_price"], max_fee=t["max_fee"],
+            max_priority_fee=t["max_priority_fee"],
+            chain_id=t["chain_id"], v=t["v"], r=t["r"], s=t["s"],
+            sender=_b(t["sender"]) if t["sender"] else None,
+        )
+        for t in d["txs"]
+    ]
+    nodes = {keccak256(_b(n)): _b(n) for n in d["state_nodes"]}
+    codes = {keccak256(_b(c)): _b(c) for c in d["codes"]}
+    return BlockWitness(header=header, txs=txs, state_nodes=nodes,
+                        codes=codes, chain_id=d["chain_id"])

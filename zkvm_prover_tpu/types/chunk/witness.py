@@ -52,10 +52,39 @@ class ChunkWitness:
     chain_id: int = 534352
     prev_blockhash: bytes = B256_ZERO
     validium: Optional[ValidiumInputs] = None
+    # Full stateless-execution inputs (execution.block.BlockWitness).
+    # When present, validation RE-EXECUTES the blocks (sbv analog) and
+    # derives blocks/post_state_root/withdraw_root instead of trusting
+    # pre-summarized values (reference witness.rs BlockWitness field).
+    block_witnesses: Optional[list] = None
 
     @property
     def total_gas_used(self) -> int:
         return sum(b.gas_used for b in self.blocks)
+
+
+def execute_and_fold(witness: "ChunkWitness") -> ChunkInfo:
+    """The full execute() analog (execute.rs:21-91): when the witness
+    carries block witnesses, run stateless re-execution to derive the
+    summaries and state/withdraw roots; then fold into ChunkInfo."""
+    if witness.block_witnesses:
+        from ...execution.block import execute_chunk_blocks
+
+        summaries, pre, post, wroot = execute_chunk_blocks(
+            witness.block_witnesses, witness.prev_state_root
+        )
+        if witness.post_state_root != B256_ZERO:
+            assert witness.post_state_root == post, \
+                "claimed post_state_root contradicts re-execution"
+        if witness.withdraw_root != B256_ZERO:
+            assert witness.withdraw_root == wroot, \
+                "claimed withdraw_root contradicts re-execution"
+        witness.blocks = summaries
+        witness.post_state_root = post
+        witness.withdraw_root = wroot
+        witness.prev_blockhash = \
+            witness.block_witnesses[0].header.parent_hash
+    return chunk_info_from_execution(witness)
 
 
 def chunk_info_from_execution(witness: ChunkWitness) -> ChunkInfo:
