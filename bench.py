@@ -1,38 +1,70 @@
 """Benchmark driver — prints ONE JSON line on the last stdout line.
 
+Budgeted: every stage runs under a deadline derived from BENCH_BUDGET_S
+(default 480 s) so the driver ALWAYS receives the headline metric — the
+round-3 lesson, where an unbounded machine-proof stage ate the whole
+driver timeout and no metric landed.
+
 Metrics (BASELINE.json north stars):
-  1. BabyBear NTT butterflies/s/chip (headline `metric`), measured on the
-     forward batched NTT used by the LDE hot path. The reference publishes
-     no benchmark tables (BASELINE.md), so vs_baseline is reported against
-     a documented estimate of the reference stack's CPU NTT throughput on
-     the 96-core host target (Plonky3 p3-dft, parallel feature): ~2.0e9
-     butterflies/s. See BASELINE.md "North-star targets".
-  2. Full rv32 machine proof wall-clock at the PRODUCTION security config
-     (FRI 100 queries, 16 PoW bits — openvm.toml parity) on a real
-     workload: a ~2^16-cycle guest exercising every chip (ALU/shift/
-     branch/jump/load-store/mul/divrem + keccak syscall chips), reported
-     as seconds + proving MHz (= cycles / proving time, the reference's
-     proving-speed log at crates/prover/src/prover/mod.rs:358-366).
-     Embedded in the headline JSON under "extra".
+  1. BabyBear NTT butterflies/s/chip (headline), measured on the forward
+     batched NTT used by the LDE hot path. vs_baseline is against a
+     documented estimate of the reference stack's CPU NTT throughput
+     (~2.0e9 bf/s, see BASELINE.md "North-star targets").
+  2. Full rv32 machine proof at the PRODUCTION security config (FRI 100
+     queries, 16 PoW bits — openvm.toml parity) on a guest exercising
+     every chip family incl. keccak syscalls; reports wall-clock +
+     proving kHz (the reference's proving-speed log,
+     crates/prover/src/prover/mod.rs:358-366). Runs on the HOST numpy
+     backend: on this tunneled single-chip setup, device readback during
+     query openings (~180 KB/s) dominates any on-chip win, so
+     ZKVM_TPU_DEVICE_MIN_ELEMS pins the machine-proof path host-side
+     while the NTT headline still measures the chip.
+  3. BN254 Pippenger MSM pts/s (SNARK-wrapper foundation).
 """
 
 import json
+import os
+import signal
 import time
 
-import numpy as np
+# Machine proofs: stay on the host numpy backend (see module docstring).
+# Must be set before any zkvm_prover_tpu.stark import.
+os.environ.setdefault("ZKVM_TPU_DEVICE_MIN_ELEMS", str(1 << 62))
 
-REFERENCE_BUTTERFLIES_PER_SEC = 2.0e9  # documented estimate, see docstring
+import numpy as np  # noqa: E402
+
+REFERENCE_BUTTERFLIES_PER_SEC = 2.0e9  # documented estimate, see BASELINE.md
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "480"))
+_T_END = time.time() + BUDGET_S
 
 
-def bench_ntt():
+def _remaining() -> float:
+    return _T_END - time.time()
+
+
+def _with_deadline(fn, seconds):
+    """Run fn() under a SIGALRM deadline; raises TimeoutError on expiry."""
+    seconds = max(1, int(seconds))
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"stage exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def bench_ntt(log_n=20, width=8, reps=3):
     import jax
     import jax.numpy as jnp
 
     from zkvm_prover_tpu.fields import babybear as bb
     from zkvm_prover_tpu.ops import ntt
 
-    log_n = 20
-    width = 8
     n = 1 << log_n
     rng = np.random.default_rng(0)
     x = bb.to_monty(
@@ -61,7 +93,6 @@ def bench_ntt():
 
     int(chain(x))  # compile+run
     int(single(x))
-    reps = 3
     t0 = time.time()
     for _ in range(reps):
         int(chain(x))
@@ -77,10 +108,9 @@ def bench_ntt():
 
 
 def bench_guest_program(n_outer=64, n_inner=128):
-    """~2^16-cycle guest touching every chip family, with one keccak
-    syscall per outer iteration (interleaving keeps every register/RAM
-    region within the machine's 16-bit timestamp-diff window — the
-    per-location access-gap cap of the offline memory argument)."""
+    """Guest touching every chip family, one keccak syscall per outer
+    iteration (interleaving keeps every register/RAM region within the
+    16-bit timestamp-diff window of the offline memory argument)."""
     from zkvm_prover_tpu.vm import asm
 
     msg_base, out_base = 0x3000, 0x3200
@@ -123,13 +153,13 @@ def bench_guest_program(n_outer=64, n_inner=128):
     return asm.assemble(body)
 
 
-def bench_machine_proof():
+def bench_machine_proof(n_outer=4, n_inner=64):
     from zkvm_prover_tpu.models import rv32_v2
     from zkvm_prover_tpu.stark import machine
     from zkvm_prover_tpu.stark.config import default_config
     from zkvm_prover_tpu.vm.executor import HALTED, Rv32Executor
 
-    prog = bench_guest_program()
+    prog = bench_guest_program(n_outer=n_outer, n_inner=n_inner)
     ex = Rv32Executor()
     ex.load_program(prog)
     t0 = time.time()
@@ -146,80 +176,64 @@ def bench_machine_proof():
 
     t0 = time.time()
     proof = machine.prove_machine(instances, cfg)
-    cold_s = time.time() - t0
+    prove_s = time.time() - t0
     t0 = time.time()
-    proof = machine.prove_machine(instances, cfg)
-    warm_s = time.time() - t0
-    assert machine.verify_machine([a for a, _, _ in air_traces], proof, cfg)
+    assert machine.verify_machine([a for a, _, _ in air_traces], proof,
+                                  cfg)
+    verify_s = time.time() - t0
     return {
-        "guest_cycles": int(cycles),
-        "execution_mhz": cycles / 1e6 / max(exec_s, 1e-9),
+        "guest_cycles": cycles,
+        "execution_mhz": round(cycles / 1e6 / max(exec_s, 1e-9), 2),
         "tracegen_s": round(tracegen_s, 3),
-        "proof_wall_s_cold": round(cold_s, 3),
-        "proof_wall_s_warm": round(warm_s, 3),
-        "proving_khz_warm": round(cycles / 1e3 / warm_s, 2),
+        "proof_wall_s": round(prove_s, 3),
+        "verify_wall_s": round(verify_s, 3),
+        "proving_khz": round(cycles / 1e3 / prove_s, 2),
         "fri_queries": cfg.fri.num_queries,
         "pow_bits": cfg.fri.proof_of_work_bits,
+        "backend": "host-numpy (see module docstring)",
     }
 
 
-def bench_msm(n=2048):
-    """BN254 MSM pts/s on the device kernels (BASELINE.json metric)."""
-    import numpy as np_
-
+def bench_msm(n=1024):
+    """BN254 MSM pts/s (BASELINE.json metric)."""
     from zkvm_prover_tpu.fields import bn254 as bn
-    from zkvm_prover_tpu.ops import msm as msm_mod
 
-    rng = np_.random.default_rng(1)
-    # n distinct points without n host scalar-muls: random small multiples
-    base = [bn.g1_mul(bn.G1_GEN, k + 1) for k in range(64)]
+    rng = np.random.default_rng(1)
+    base = [bn.g1_mul_jac(bn.G1_GEN, k + 1) for k in range(64)]
     pts = [base[int(i) % 64] for i in rng.integers(0, 64, size=n)]
     scalars = [int(x) for x in rng.integers(1, 1 << 62, size=n)]
     t0 = time.time()
-    got = msm_mod.msm_device(pts, scalars, c=8, use_jax=True)
-    cold_s = time.time() - t0
-    t0 = time.time()
-    got = msm_mod.msm_device(pts, scalars, c=8, use_jax=True)
-    warm_s = time.time() - t0
-    # spot-check against the host reference on a subset relation
+    got = bn.msm_jac(pts, scalars)
+    dt = time.time() - t0
     assert got is not None
     return {
         "n_points": n,
-        "msm_wall_s_cold": round(cold_s, 3),
-        "msm_wall_s_warm": round(warm_s, 3),
-        "msm_pts_per_s_warm": round(n / warm_s, 1),
+        "msm_wall_s": round(dt, 3),
+        "msm_pts_per_s": round(n / dt, 1),
+        "backend": "host jacobian pippenger",
     }
-
-
-def _with_deadline(fn, seconds):
-    """Run fn() under a SIGALRM deadline so a hung sub-benchmark can never
-    swallow the headline metric."""
-    import signal
-
-    def _raise(signum, frame):
-        raise TimeoutError(f"benchmark exceeded {seconds}s")
-
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
-    try:
-        return fn()
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def main():
     extra = {}
-    try:
-        extra["machine_proof"] = _with_deadline(bench_machine_proof, 1500)
-    except Exception as e:  # never lose the headline metric
-        extra["machine_proof_error"] = f"{type(e).__name__}: {e}"[:300]
-    try:
-        extra["bn254_msm"] = _with_deadline(bench_msm, 900)
-    except Exception as e:
-        extra["bn254_msm_error"] = f"{type(e).__name__}: {e}"[:300]
-
+    # headline first — it must always land
     rate = bench_ntt()
+
+    # remaining stages under explicit deadlines, headline already safe
+    stages = [
+        ("machine_proof", bench_machine_proof, 300),
+        ("bn254_msm", bench_msm, 60),
+    ]
+    for name, fn, cap in stages:
+        budget = min(cap, _remaining() - 20)
+        if budget < 30:
+            extra[f"{name}_skipped"] = "budget exhausted"
+            continue
+        try:
+            extra[name] = _with_deadline(fn, budget)
+        except Exception as e:  # never lose the headline metric
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+
     print(
         json.dumps(
             {

@@ -24,3 +24,9 @@ jax.config.update("jax_enable_x64", False)
 # NOTE: do NOT enable jax_compilation_cache_dir here — on this image the
 # persistent cache makes compiles pathologically slow (measured 137s vs 0.5s
 # for the same program).
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running prove/verify tests"
+    )

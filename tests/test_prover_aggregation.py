@@ -111,3 +111,47 @@ def test_invalid_child_makes_unprovable_node(setup):
     if debug.check_bus_balance(pairs, pvs_map):
         ok = False
     assert not ok, "tampered child must not satisfy the node circuit"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_HEAVY"),
+    reason="in-circuit aggregation over a real VM chunk proof is the "
+           "heavy tier (RUN_HEAVY=1); exercises airs_for_meta child "
+           "slots with witness-dependent keccak table heights",
+)
+def test_in_circuit_aggregation_over_vm_chunk_proof(tmp_path):
+    """ADVICE r3 follow-up: the production default (in-circuit child
+    verification) over a chunk proof whose KeccakfAir height comes from
+    the witness, not the app default."""
+    from zkvm_prover_tpu.integration.testers import ChunkTaskGenerator
+
+    gen = ChunkTaskGenerator(stark=TINY)
+    chunk_proof = gen.get_or_build_proof(0)
+
+    parent = Prover.setup(ProverConfig(app_name="fib-double", stark=TINY))
+    task = ProvingTask(
+        serialized_witness=[
+            json.dumps({"log_n_fib": 3, "log_n_dbl": 3}).encode()
+        ],
+        aggregated_proofs=[chunk_proof],
+    )
+    proof = parent.gen_proof_stark(task)
+    assert proof.agg_children[0].vk == chunk_proof.baseline
+    assert UniversalVerifier.verify_stark_proof_with_vk(
+        parent.get_app_vk(), proof, TINY
+    )
+    # corrupt one byte of the child proof body -> node unprovable
+    import copy
+
+    bad_child = copy.deepcopy(chunk_proof)
+    body = bytearray(bad_child.proof)
+    body[len(body) // 2] ^= 1
+    bad_child.proof = bytes(body)
+    bad_task = ProvingTask(
+        serialized_witness=[
+            json.dumps({"log_n_fib": 3, "log_n_dbl": 3}).encode()
+        ],
+        aggregated_proofs=[bad_child],
+    )
+    with pytest.raises(Exception):
+        parent.gen_proof_stark(bad_task)

@@ -98,3 +98,32 @@ def test_sharded_coset_lde_matches(mesh8):
     want = np.asarray(ntt.coset_lde(x, 1, bb.GENERATOR))
     got = np.asarray(coset_lde_sharded(x, 1, mesh8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_fri_fold_matches_single_device(mesh8):
+    """FRI fold under shard_map (4-ppermute halo exchange) is
+    bit-identical to stark.fri.fold_round."""
+    from zkvm_prover_tpu.parallel.fri_sharded import fold_round_sharded
+    from zkvm_prover_tpu.stark import fri as fri_mod
+
+    log_m = 9
+    m = 1 << log_m
+    shift = bb.GENERATOR
+    cw = bb.to_monty(jnp.asarray(
+        RNG.integers(0, bb.P, size=(m, 4), dtype=np.uint64).astype(
+            np.uint32)))
+    beta = bb.to_monty(jnp.asarray(
+        RNG.integers(0, bb.P, size=(4,), dtype=np.uint64).astype(
+            np.uint32)))
+    want = np.asarray(fri_mod.fold_round(np.asarray(cw), log_m, shift,
+                                         np.asarray(beta)))
+    got = np.asarray(fold_round_sharded(cw, log_m, shift, beta, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+    # two chained folds (the commit-phase loop shape)
+    shift2 = (shift * shift) % bb.P
+    want2 = np.asarray(fri_mod.fold_round(want, log_m - 1, shift2,
+                                          np.asarray(beta)))
+    got2 = np.asarray(fold_round_sharded(
+        jnp.asarray(want), log_m - 1, shift2, beta, mesh8))
+    np.testing.assert_array_equal(got2, want2)

@@ -128,7 +128,10 @@ def machine_proof_to_dict(p: machine.MachineProof) -> dict:
             }
             for lm, d in p.query_openings.items()
         },
-        "stat": dict(p.stat),
+        # NOTE: p.stat (wall-clock phase timings) deliberately stays
+        # in-memory only: embedding it would make proof bytes
+        # non-reproducible across runs/workers (the envelope's
+        # StarkProofStat carries observability data instead).
     }
 
 

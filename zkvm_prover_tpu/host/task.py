@@ -25,3 +25,34 @@ class ProvingTask:
         if self.input_commits:
             stream.append(b"".join(self.input_commits))
         return stream
+
+    # -- wire format (proving-pool / scheduler transport) -------------------
+    def to_dict(self) -> dict:
+        import base64
+
+        b64 = lambda b: base64.b64encode(b).decode()
+        return {
+            "serialized_witness": [b64(w) for w in self.serialized_witness],
+            "aggregated_proofs": [p.to_dict()
+                                  for p in self.aggregated_proofs],
+            "fork_name": self.fork_name,
+            "vk": self.vk.hex(),
+            "identifier": self.identifier,
+            "input_commits": [c.hex() for c in self.input_commits],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ProvingTask":
+        import base64
+
+        return cls(
+            serialized_witness=[base64.b64decode(w)
+                                for w in d["serialized_witness"]],
+            aggregated_proofs=[StarkProof.from_dict(p)
+                               for p in d.get("aggregated_proofs", [])],
+            fork_name=d.get("fork_name", "galileo"),
+            vk=bytes.fromhex(d.get("vk", "")),
+            identifier=d.get("identifier", ""),
+            input_commits=[bytes.fromhex(c)
+                           for c in d.get("input_commits", [])],
+        )

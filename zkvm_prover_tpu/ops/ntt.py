@@ -187,12 +187,19 @@ def bit_reverse(x):
 # ---------------------------------------------------------------------------
 
 
+@_np_or_jit
 @functools.partial(jax.jit, static_argnums=(1,))
 def interpolate_coset_rev(evals, shift_in_int: int = 1):
     """Evals on coset shift_in*H (natural order) -> bit-reversed coefficients.
 
     Standard INTT recovers coefficients of f(shift*x); dividing coefficient j
     by shift^j (a host-precomputed bit-reversed-order table) recovers f.
+
+    numpy input runs eagerly on numpy (no per-shape XLA compile): this was
+    the ONE transform on the commit path missing the host dispatch, and it
+    silently promoted every downstream LDE/Merkle input to jax — a fresh
+    multi-minute compile per distinct trace shape (the round-3 bench
+    timeout's root cause).
     """
     n = int(evals.shape[0])
     log_n = n.bit_length() - 1

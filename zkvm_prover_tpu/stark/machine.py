@@ -140,6 +140,18 @@ def _deep_terms(lde_mats: List[jnp.ndarray], opened_list, x_monty, points,
     power ladder (host-computed once per proof — avoids one scan compile per
     distinct ladder length). Returns (m, 4) and the next gamma index.
     """
+    # Pick ONE backend for the whole combination: a single jax-ish operand
+    # (a quotient-chunk LDE, a challenger sample) would otherwise drag the
+    # entire phase onto the eager-jax path, which compiles a fresh kernel
+    # per (op, shape) — measured 130 s of XLA compiles per proof. Host
+    # unless the largest matrix crosses the device threshold.
+    biggest = max(int(np.prod(m_.shape)) for m_ in lde_mats)
+    if biggest < _DEVICE_MIN_ELEMS:
+        lde_mats = [np.asarray(m_) for m_ in lde_mats]
+        opened_list = [np.asarray(o) for o in opened_list]
+        points = [np.asarray(p) for p in points]
+        x_monty = np.asarray(x_monty)
+        gamma_powers = np.asarray(gamma_powers)
     xp = bb._mod(x_monty, *lde_mats)
     m = lde_mats[0].shape[0]
     x_ext = ext4.from_base(xp.asarray(x_monty, dtype=xp.uint32))
