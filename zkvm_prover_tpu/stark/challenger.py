@@ -100,12 +100,13 @@ class Challenger:
             k = len(prefix)
             if k:
                 states[:, :k] = prefix
-            states[:, k] = np.asarray(
-                bb.to_monty(jnp.asarray(nonces))
-            )
+            # pure numpy: a jnp round-trip here runs on whatever platform
+            # jax initialised (on axon, a tunnel transfer + compile per
+            # shape) even though grinding is strictly host work
+            states[:, k] = np.asarray(bb.to_monty(nonces))
             out = p2.permute_np(states)
             # sample() pops from the END of the first RATE outputs
-            v = np.asarray(bb.from_monty(jnp.asarray(out[:, RATE - 1])))
+            v = np.asarray(bb.from_monty(out[:, RATE - 1].copy()))
             hit = np.nonzero((v & ((1 << bits) - 1)) == 0)[0]
             if len(hit):
                 nonce = int(nonces[hit[0]])

@@ -43,13 +43,15 @@ def selectors_on_coset(log_n: int, log_blowup: int, shift_int: int):
     xn_full = np.tile(xn, n)
     zh = (xn_full + bb.P - 1) % bb.P
 
-    x_m = jnp.asarray(np.array([bb.to_monty_int(int(v)) for v in x], np.uint32))
-    zh_m = jnp.asarray(np.array([bb.to_monty_int(int(v)) for v in zh], np.uint32))
-    one_m = jnp.full((m,), bb.ONE, dtype=jnp.uint32)
+    # host numpy end-to-end: the results are cached as numpy anyway, and a
+    # jnp round-trip would run on whatever platform jax initialised
+    x_m = np.array([bb.to_monty_int(int(v)) for v in x], np.uint32)
+    zh_m = np.array([bb.to_monty_int(int(v)) for v in zh], np.uint32)
+    one_m = np.full((m,), bb.ONE, dtype=np.uint32)
     ghinv_m = np.uint32(bb.to_monty_int(g_h_inv))
 
     xm1 = bb.sub(x_m, one_m)
-    xmg = bb.sub(x_m, jnp.full((m,), ghinv_m, dtype=jnp.uint32))
+    xmg = bb.sub(x_m, np.full((m,), ghinv_m, dtype=np.uint32))
     inv_xm1 = bb.inv(xm1)
     inv_xmg = bb.inv(xmg)
     inv_zh = bb.inv(zh_m)

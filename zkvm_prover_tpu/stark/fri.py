@@ -172,7 +172,7 @@ def _ext_mul_np(a, b):
 
 
 def _monty_row_to_canonical(row):
-    return np.asarray(bb.from_monty(jnp.asarray(np.asarray(row, dtype=np.uint32))))
+    return np.asarray(bb.from_monty(np.asarray(row, dtype=np.uint32)))
 
 
 def ext_np_add_scaled(acc, v, s: int):

@@ -374,7 +374,11 @@ def prove_machine(
             crs.append(cr)
             ldes.append(ntt.eval_coset_from_rev(cr, log_blowup, shift))
         chunk_crevs.append(crs)
-        chunk_ldes.append(jnp.concatenate(ldes, axis=1))  # (m, 8)
+        # backend-preserving concat: an unconditional jnp.concatenate here
+        # promoted host-path quotient LDEs onto the device (on tunneled
+        # setups, a transfer + per-shape compile per AIR)
+        xp_c = np if all(isinstance(v, np.ndarray) for v in ldes) else jnp
+        chunk_ldes.append(xp_c.concatenate(ldes, axis=1))  # (m, 8)
 
     quotient_trees: Dict[int, merkle.MerkleTree] = {}
     for lm in heights:
@@ -564,7 +568,7 @@ def verify_machine(
         if pre_np.shape[0] != (1 << log_n):
             return False
         shift = _shift_for(lm, log_max, g)
-        pm = bb.to_monty(jnp.asarray(np.asarray(pre_np, dtype=np.uint32)))
+        pm = bb.to_monty(np.asarray(pre_np, dtype=np.uint32))
         cr = ntt.interpolate_coset_rev(pm, 1)
         pre_ldes_v.append(ntt.eval_coset_from_rev(cr, log_blowup, shift))
     expected_pre_roots: Dict[int, np.ndarray] = {}
@@ -802,10 +806,10 @@ def verify_machine(
                 inv_xz = ext_np.inv(ext_np.sub(ext_np.from_base(x), zeta_c))
                 inv_xzg = ext_np.inv(ext_np.sub(ext_np.from_base(x), zeta_g))
                 trow = np.asarray(
-                    bb.from_monty(jnp.asarray(qo.trace.rows[slot]))
+                    bb.from_monty(np.asarray(qo.trace.rows[slot]))
                 ).astype(np.int64)
                 qrow = np.asarray(
-                    bb.from_monty(jnp.asarray(qo.quotient.rows[slot]))
+                    bb.from_monty(np.asarray(qo.quotient.rows[slot]))
                 ).astype(np.int64)
                 t_z = _canon_ext(proof.opened[i].trace_zeta)
                 t_zn = _canon_ext(proof.opened[i].trace_zeta_next)
@@ -818,7 +822,7 @@ def verify_machine(
                 )
                 if inter_counts[i]:
                     prow = np.asarray(
-                        bb.from_monty(jnp.asarray(qo.perm.rows[perm_slot]))
+                        bb.from_monty(np.asarray(qo.perm.rows[perm_slot]))
                     ).astype(np.int64)
                     perm_slot += 1
                     p_z = _canon_ext(proof.opened[i].perm_zeta)
@@ -833,7 +837,7 @@ def verify_machine(
                     )
                 if pre_widths[i]:
                     erow = np.asarray(
-                        bb.from_monty(jnp.asarray(qo.pre.rows[pre_slot]))
+                        bb.from_monty(np.asarray(qo.pre.rows[pre_slot]))
                     ).astype(np.int64)
                     pre_slot += 1
                     e_z = _canon_ext(proof.opened[i].pre_zeta)

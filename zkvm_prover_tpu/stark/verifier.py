@@ -28,7 +28,7 @@ P = bb.P
 
 def _canon_ext(arr) -> List[List[int]]:
     """Montgomery (…,4) array -> canonical nested lists."""
-    c = np.asarray(bb.from_monty(jnp.asarray(np.asarray(arr, dtype=np.uint32))))
+    c = np.asarray(bb.from_monty(np.asarray(arr, dtype=np.uint32)))
     return c.astype(np.int64).tolist()
 
 
@@ -69,9 +69,11 @@ def verify(
     # ---- out-of-domain constraint check (DEEP-ALI) ------------------------
     sels_z = domain.selectors_at_point_ext(log_n, zeta)
     pvs_m = [bb.to_monty_int(int(v) % P) for v in proof.public_values]
+    # host numpy: the point evaluation walks every constraint expression —
+    # eager jax here would dispatch one device op per expression node
     pb = PointBuilder(
-        jnp.asarray(proof.opened_trace_zeta),
-        jnp.asarray(proof.opened_trace_zeta_next),
+        np.asarray(proof.opened_trace_zeta),
+        np.asarray(proof.opened_trace_zeta_next),
         sels_z,
         pvs_m,
     )
@@ -129,10 +131,10 @@ def verify(
             raise KeyError(f"missing query opening at {idx}")
         x = (g * pow(w_m_int, idx, P)) % P
         trow = np.asarray(
-            bb.from_monty(jnp.asarray(qo.trace.rows[0]))
+            bb.from_monty(np.asarray(qo.trace.rows[0]))
         ).astype(np.int64)
         qrow = np.asarray(
-            bb.from_monty(jnp.asarray(qo.quotient.rows[0]))
+            bb.from_monty(np.asarray(qo.quotient.rows[0]))
         ).astype(np.int64)
         inv_xz = ext_np.inv(ext_np.sub(ext_np.from_base(x), zeta_c))
         inv_xzg = ext_np.inv(ext_np.sub(ext_np.from_base(x), zeta_g))
