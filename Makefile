@@ -26,10 +26,25 @@ test-e2e-bundle:
 
 test-heavy:
 	RUN_HEAVY=1 $(PY) -m pytest tests/test_integration_harness.py \
-	  tests/test_recursion_aggregation.py tests/test_msm.py -q
+	  tests/test_recursion_aggregation.py tests/test_msm.py \
+	  tests/test_prover_aggregation.py -q
+
+# round-4 subsystems
+test-snark:
+	$(PY) -m pytest tests/test_snark_wrapper.py -q
+
+test-execution:
+	$(PY) -m pytest tests/test_execution.py -q
+
+test-chips:
+	$(PY) -m pytest tests/test_keccak_air.py tests/test_sha256_air.py \
+	  tests/test_bigint_air.py -q
 
 bench:
 	$(PY) bench.py
 
 chunk-benchmark:
 	$(PY) -m zkvm_prover_tpu.bin.chunk_benchmark --cpu --fast
+
+release-assets:
+	$(PY) -m zkvm_prover_tpu.bin.build_guest --with-evm-verifier

@@ -221,9 +221,16 @@ def main():
     rate = bench_ntt()
 
     # remaining stages under explicit deadlines, headline already safe
+    def bench_ntt_2e22():
+        # pod-scale single-chip datapoint (VERDICT r2 #7): one >=2^22 NTT
+        rate22 = bench_ntt(log_n=22, width=2, reps=1)
+        return {"log_n": 22, "width": 2,
+                "butterflies_per_sec": round(rate22, 1)}
+
     stages = [
         ("bn254_msm", bench_msm, 60),          # fast — land it first
         ("machine_proof", bench_machine_proof, 330),
+        ("ntt_2e22", bench_ntt_2e22, 120),
     ]
     for name, fn, cap in stages:
         budget = min(cap, _remaining() - 20)

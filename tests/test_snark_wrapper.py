@@ -230,3 +230,38 @@ def test_point_limb_roundtrip():
     assert len(limbs) == 6
     assert all(0 <= v < (1 << wrapper.LIMB_BITS) for v in limbs)
     assert wrapper.limbs_to_point(limbs) == p
+
+
+@pytest.mark.slow
+def test_gen_proof_snark_through_host_prover(keys):
+    """Full host path: ProvingTask -> STARK (self-verified) -> PLONK
+    wrapper -> EvmProof -> UniversalVerifier.verify_evm_proof (host
+    PLONK + accumulator pairing + generated-bytecode EVM simulation).
+    Reference: gen_proof_universal(with_snark=True) ->
+    verify_evm_proof (prover/mod.rs:419-432, verifier/evm.rs:38-43)."""
+    import json
+
+    from zkvm_prover_tpu.host.prover import Prover, ProverConfig
+    from zkvm_prover_tpu.host.verifier import UniversalVerifier
+    from zkvm_prover_tpu.stark.config import StarkConfig
+    from zkvm_prover_tpu.stark.fri import FriConfig
+
+    tiny = StarkConfig(fri=FriConfig(log_blowup=1, num_queries=2,
+                                     proof_of_work_bits=2))
+    prover = Prover.setup(ProverConfig(app_name="fibonacci", stark=tiny))
+    task = __import__("zkvm_prover_tpu.host.task",
+                      fromlist=["ProvingTask"]).ProvingTask(
+        serialized_witness=[json.dumps({"log_n": 4}).encode()],
+    )
+    evm_proof = prover.gen_proof_universal(task, with_snark=True)
+    verifier = UniversalVerifier("fibonacci", tiny)
+    assert verifier.verify_evm_proof(evm_proof)
+    # PI bytes surface through the on-chain instance layout
+    stark = prover.gen_proof_stark(task)
+    assert bytes(evm_proof.public_values()) == stark.user_pvs_proof
+    # tampering the instances breaks it
+    bad = type(evm_proof)(
+        proof=evm_proof.proof,
+        instances=b"\x01" + evm_proof.instances[1:],
+    )
+    assert not verifier.verify_evm_proof(bad)

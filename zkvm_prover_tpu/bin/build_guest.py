@@ -63,6 +63,31 @@ def generate_app_assets(output: Path) -> dict:
     return vk_index
 
 
+def generate_evm_verifier_assets(output: Path) -> dict:
+    """verifier.bin + wrapper-vk release assets (the reference ships the
+    snark-verifier-generated contract as `verifier.bin` and simulates it
+    with revm — crates/verifier/src/evm.rs, release assets in
+    build-guest.sh). Here: the generated PLONK verifier bytecode for the
+    wrapper circuit plus its verifying key material."""
+    from ..snark import verifier_contract as vc, wrapper
+
+    keys = wrapper.wrapper_keys()
+    code = vc.generate_verifier(keys.vk)
+    (output / "verifier.bin").write_bytes(code)
+    meta = {
+        "bytecode_keccak": __import__(
+            "zkvm_prover_tpu.ops.keccak", fromlist=["keccak256"]
+        ).keccak256(code).hex(),
+        "bytecode_len": len(code),
+        "wrapper_vk_digest": keys.vk.digest().hex(),
+        "log_n": keys.vk.log_n,
+        "n_public": keys.vk.n_public,
+        "instance_layout": "12 acc + 2 digest + 32 pi (32-byte BE words)",
+    }
+    (output / "evm_verifier.json").write_text(json.dumps(meta, indent=2))
+    return meta
+
+
 def verify_assets(output: Path) -> bool:
     """Downloaded-vs-generated equivalence check analog
     (build-guest/src/verifier.rs:107-156): re-derive every asset and diff."""
@@ -85,11 +110,18 @@ def verify_assets(output: Path) -> bool:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", default="releases/dev")
+    ap.add_argument("--with-evm-verifier", action="store_true",
+                    help="also build verifier.bin (wrapper-key setup "
+                         "takes ~30s)")
     args = ap.parse_args(argv)
     out = Path(args.output)
     index = generate_app_assets(out)
     assert verify_assets(out)
-    print(json.dumps({"output": str(out), "apps": list(index)}))
+    payload = {"output": str(out), "apps": list(index)}
+    if args.with_evm_verifier:
+        meta = generate_evm_verifier_assets(out)
+        payload["verifier_bin_len"] = meta["bytecode_len"]
+    print(json.dumps(payload))
     return 0
 
 

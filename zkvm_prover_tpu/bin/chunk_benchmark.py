@@ -49,6 +49,16 @@ def main(argv=None):
     stats = proof.stat.to_dict()
     stats["wall_clock_s"] = wall
     stats["total_gas"] = total_gas
+    # cycles-per-gas budget (reference asserts <= 35,
+    # crates/integration/tests/chunk_circuit.rs:44-54); enforced here as
+    # an observability gate — a regression in guest efficiency fails the
+    # benchmark run loudly rather than silently bloating proofs.
+    if total_gas:
+        cpg = proof.stat.total_cycles / total_gas
+        stats["cycles_per_gas"] = round(cpg, 4)
+        assert cpg <= 35, (
+            f"cycles/gas budget exceeded: {cpg:.2f} > 35"
+        )
     tracing.dump_metrics(args.metrics)
     print(json.dumps(stats))
 
