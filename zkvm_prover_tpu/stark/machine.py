@@ -754,14 +754,30 @@ def verify_machine(
                     return False
 
     # ---- derived codeword callbacks per height ---------------------------
-    def _acc_cols(row_canon, opened_canon, gammas, gidx):
-        acc = [0, 0, 0, 0]
-        for j in range(len(row_canon)):
-            d = ext_np.sub(
-                ext_np.from_base(int(row_canon[j])), opened_canon[j]
-            )
-            acc = ext_np.add(acc, ext_np.mul(gammas[gidx + j], d))
-        return acc, gidx + len(row_canon)
+    from ..fields.ext4 import W_INT as _W
+
+    def _acc_cols(row_canon, opened_canon, gammas_np, gidx):
+        """acc = sum_j gammas[gidx+j] * (row[j] - opened[j]) — vectorized
+        over columns (the per-query python-int loop here dominated the
+        whole 100-query verify on wide AIRs)."""
+        w = len(row_canon)
+        if w == 0:
+            return [0, 0, 0, 0], gidx
+        a = gammas_np[gidx : gidx + w]                       # (w, 4) u64
+        oc = np.asarray(opened_canon, dtype=np.int64)        # (w, 4)
+        # ext diff of a BASE row value: only coordinate 0 carries row[j]
+        d = (-oc) % P
+        d[:, 0] = (np.asarray(row_canon, dtype=np.int64) - oc[:, 0]) % P
+        d = d.astype(np.uint64)
+        c = np.zeros((7, w), dtype=np.uint64)
+        for i in range(4):
+            for j in range(4):
+                # each term < p after the mod; <= 4 terms per k < 2^33
+                c[i + j] += (a[:, i] * d[:, j]) % P
+        for k in range(6, 3, -1):
+            c[k - 4] = (c[k - 4] + _W * (c[k] % P)) % P
+        acc = [int(c[k].sum() % P) for k in range(4)]
+        return acc, gidx + w
 
     # total gamma terms
     pre_widths = [
@@ -774,6 +790,7 @@ def verify_machine(
             total_terms += 2 * (4 * inter_counts[i] + 4)
         total_terms += 2 * pre_widths[i]
     gammas = ext_np.powers(gamma_c, max(total_terms, 1))
+    gammas_np = np.asarray(gammas, dtype=np.uint64)
 
     # per-AIR gamma offsets in prover order
     offsets = []
@@ -790,6 +807,20 @@ def verify_machine(
         airs_here = [i for i in range(len(metas)) if log_ms[i] == lm]
         shift = _shift_for(lm, log_max, g)
         w_m_int = bb.two_adic_generator_int(lm)
+        # hoist per-AIR canonical opened values out of the query loop
+        canon = {}
+        for i in airs_here:
+            ov = proof.opened[i]
+            canon[i] = (
+                _canon_ext(ov.trace_zeta), _canon_ext(ov.trace_zeta_next),
+                _canon_ext(ov.quotient),
+                None if ov.perm_zeta is None else _canon_ext(ov.perm_zeta),
+                None if ov.perm_zeta_next is None
+                else _canon_ext(ov.perm_zeta_next),
+                None if ov.pre_zeta is None else _canon_ext(ov.pre_zeta),
+                None if ov.pre_zeta_next is None
+                else _canon_ext(ov.pre_zeta_next),
+            )
 
         def derived(idx: int):
             qo = proof.query_openings[lm].get(idx)
@@ -811,12 +842,10 @@ def verify_machine(
                 qrow = np.asarray(
                     bb.from_monty(np.asarray(qo.quotient.rows[slot]))
                 ).astype(np.int64)
-                t_z = _canon_ext(proof.opened[i].trace_zeta)
-                t_zn = _canon_ext(proof.opened[i].trace_zeta_next)
-                q_z = _canon_ext(proof.opened[i].quotient)
+                t_z, t_zn, q_z, p_z, p_zn, e_z, e_zn = canon[i]
                 gidx = offsets[i]
-                a1, gidx = _acc_cols(trow, t_z, gammas, gidx)
-                a2, gidx = _acc_cols(trow, t_zn, gammas, gidx)
+                a1, gidx = _acc_cols(trow, t_z, gammas_np, gidx)
+                a2, gidx = _acc_cols(trow, t_zn, gammas_np, gidx)
                 term = ext_np.add(
                     ext_np.mul(a1, inv_xz), ext_np.mul(a2, inv_xzg)
                 )
@@ -825,10 +854,8 @@ def verify_machine(
                         bb.from_monty(np.asarray(qo.perm.rows[perm_slot]))
                     ).astype(np.int64)
                     perm_slot += 1
-                    p_z = _canon_ext(proof.opened[i].perm_zeta)
-                    p_zn = _canon_ext(proof.opened[i].perm_zeta_next)
-                    a3, gidx = _acc_cols(prow, p_z, gammas, gidx)
-                    a4, gidx = _acc_cols(prow, p_zn, gammas, gidx)
+                    a3, gidx = _acc_cols(prow, p_z, gammas_np, gidx)
+                    a4, gidx = _acc_cols(prow, p_zn, gammas_np, gidx)
                     term = ext_np.add(
                         term,
                         ext_np.add(
@@ -840,17 +867,15 @@ def verify_machine(
                         bb.from_monty(np.asarray(qo.pre.rows[pre_slot]))
                     ).astype(np.int64)
                     pre_slot += 1
-                    e_z = _canon_ext(proof.opened[i].pre_zeta)
-                    e_zn = _canon_ext(proof.opened[i].pre_zeta_next)
-                    a6, gidx = _acc_cols(erow, e_z, gammas, gidx)
-                    a7, gidx = _acc_cols(erow, e_zn, gammas, gidx)
+                    a6, gidx = _acc_cols(erow, e_z, gammas_np, gidx)
+                    a7, gidx = _acc_cols(erow, e_zn, gammas_np, gidx)
                     term = ext_np.add(
                         term,
                         ext_np.add(
                             ext_np.mul(a6, inv_xz), ext_np.mul(a7, inv_xzg)
                         ),
                     )
-                a5, gidx = _acc_cols(qrow, q_z, gammas, gidx)
+                a5, gidx = _acc_cols(qrow, q_z, gammas_np, gidx)
                 term = ext_np.add(term, ext_np.mul(a5, inv_xz))
                 total = ext_np.add(total, term)
             return np.array(total, dtype=np.uint64)
