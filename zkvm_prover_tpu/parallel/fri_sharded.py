@@ -64,7 +64,10 @@ def fold_round_sharded(codeword, log_m: int, shift_int: int, beta,
         hi = rc + rd
         return _fold_local(lo, hi, inv_local, beta_)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     folded = shard_map(
         body,
