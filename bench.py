@@ -34,7 +34,7 @@ os.environ.setdefault("ZKVM_TPU_DEVICE_MIN_ELEMS", str(1 << 62))
 import numpy as np  # noqa: E402
 
 REFERENCE_BUTTERFLIES_PER_SEC = 2.0e9  # documented estimate, see BASELINE.md
-BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "480"))
+BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "420"))
 _T_END = time.time() + BUDGET_S
 
 
@@ -215,32 +215,87 @@ def bench_msm(n=1024):
     }
 
 
+def bench_ntt_2e22():
+    """Pod-scale single-chip datapoint (VERDICT r2 #7): one >=2^22 NTT."""
+    rate22 = bench_ntt(log_n=22, width=2, reps=1)
+    return {"log_n": 22, "width": 2,
+            "butterflies_per_sec": round(rate22, 1)}
+
+
+def _run_stage(code: str, timeout_s: float):
+    """Run a stage in a subprocess with a HARD kill.
+
+    SIGALRM deadlines cannot interrupt a blocked device RPC (the axon
+    tunnel occasionally degrades to minutes-long compiles, which is how
+    two in-process-guarded runs still overran their budget); a killed
+    child always returns control to the orchestrator."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            timeout=max(10, timeout_s),
+        )
+        if r.returncode != 0:
+            return None, f"rc={r.returncode}: {r.stderr[-200:]}"
+        return json.loads(r.stdout.strip().splitlines()[-1]), None
+    except subprocess.TimeoutExpired:
+        return None, f"killed after {int(timeout_s)}s"
+    except Exception as e:  # pragma: no cover
+        return None, f"{type(e).__name__}: {e}"[:200]
+
+
+_CPU_PREFIX = "import jax; jax.config.update('jax_platforms','cpu'); "
+
+
 def main():
     extra = {}
-    # headline first — it must always land
-    rate = bench_ntt()
-
-    # remaining stages under explicit deadlines, headline already safe
-    def bench_ntt_2e22():
-        # pod-scale single-chip datapoint (VERDICT r2 #7): one >=2^22 NTT
-        rate22 = bench_ntt(log_n=22, width=2, reps=1)
-        return {"log_n": 22, "width": 2,
-                "butterflies_per_sec": round(rate22, 1)}
+    # headline first -- it must ALWAYS land. The NTT stages need the real
+    # chip; everything else runs on the forced-cpu platform (immune to
+    # tunnel weather). Every stage is a kill-able subprocess.
+    rate = 0.0
+    res, err = _run_stage(
+        "import bench, json; print(json.dumps({'r': bench.bench_ntt()}))",
+        min(280, _remaining() - 80),
+    )
+    if res is not None:
+        rate = float(res["r"])
+    else:
+        extra["ntt_full_error"] = err
+        res, err = _run_stage(
+            "import bench, json; "
+            "print(json.dumps({'r': bench.bench_ntt(18, 8, 1)}))",
+            min(120, _remaining() - 40),
+        )
+        if res is not None:
+            rate = float(res["r"])
+            extra["ntt_fallback_shape"] = "2^18 x 8"
+        else:
+            extra["ntt_fallback_error"] = err
 
     stages = [
-        ("bn254_msm", bench_msm, 60),          # fast — land it first
-        ("machine_proof", bench_machine_proof, 330),
-        ("ntt_2e22", bench_ntt_2e22, 120),
+        ("bn254_msm",
+         _CPU_PREFIX + "import bench, json; "
+         "print(json.dumps(bench.bench_msm()))", 90),
+        ("machine_proof",
+         _CPU_PREFIX + "import bench, json; "
+         "print(json.dumps(bench.bench_machine_proof()))", 330),
+        ("ntt_2e22",
+         "import bench, json; "
+         "print(json.dumps(bench.bench_ntt_2e22()))", 120),
     ]
-    for name, fn, cap in stages:
-        budget = min(cap, _remaining() - 20)
+    for name, code, cap in stages:
+        budget = min(cap, _remaining() - 15)
         if budget < 30:
             extra[f"{name}_skipped"] = "budget exhausted"
             continue
-        try:
-            extra[name] = _with_deadline(fn, budget)
-        except Exception as e:  # never lose the headline metric
-            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+        res, err = _run_stage(code, budget)
+        if res is not None:
+            extra[name] = res
+        else:
+            extra[f"{name}_error"] = err
 
     print(
         json.dumps(
