@@ -116,7 +116,9 @@ def test_invalid_child_makes_unprovable_node(setup):
 @pytest.mark.skipif(
     not __import__("os").environ.get("RUN_HEAVY"),
     reason="in-circuit aggregation over a real VM chunk proof is the "
-           "heavy tier (RUN_HEAVY=1); exercises airs_for_meta child "
+           "heavy tier (RUN_HEAVY=1, >35 min on the 2-core CI host: the "
+           "wire-circuit verifier machine over a 17-AIR child is large "
+           "even at the tiny FRI config); exercises airs_for_meta child "
            "slots with witness-dependent keccak table heights",
 )
 def test_in_circuit_aggregation_over_vm_chunk_proof(tmp_path):
