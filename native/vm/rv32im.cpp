@@ -21,6 +21,15 @@
 //       3 = KECCAK256: digest of mem[a0 .. a0+a1) written to mem[a2 .. a2+32)
 //           (the openvm keccak extension analog; proven by KeccakVmAir +
 //           KeccakfAir on the AIR side)
+//       4 = MODOP: mem[a0..+32) = mem[a1..+32) (op) mem[a2..+32) mod M,
+//           a3 = op*16 + modulus index (op: 0 mul, 1 add, 2 sub; moduli =
+//           BigIntModMulAir.SUPPORTED_MODULI — the openvm modular/bigint
+//           extension analog)
+//       5 = EC_ADD: mem[a0..+64) = affine P+Q for mem[a1..+64), mem[a2..+64),
+//           a3 = base-field modulus index (openvm ecc extension analog;
+//           distinct-x adds only — x1 == x2 traps)
+//       6 = SHA256: digest of mem[a0 .. a0+a1) written to mem[a2 .. a2+32)
+//           (the openvm sha256 extension analog; proven by Sha256Air)
 //   - segmentation: execution stops after `max_cycles` with state
 //     PAUSED so the host can snapshot boundary state (continuations).
 
@@ -165,6 +174,226 @@ void keccak256(const uint8_t *msg, size_t len, uint8_t out[32]) {
     keccak_f1600(state);
   }
   for (int i = 0; i < 32; i++) out[i] = (state[i / 8] >> (8 * (i % 8))) & 0xff;
+}
+
+// ---- 256-bit modular arithmetic, for the a7=4/5 syscalls ----------------
+// Operands are 8 x uint32 little-endian limbs (guest memory layout). The
+// AIR-side analogs are BigIntModMulAir / EcAddAir (models/bigint_air.py,
+// models/ec_air.py); this emulator mirrors openvm's intrinsic behavior
+// (reference: crates/circuits/chunk-circuit/openvm.toml modular/ecc
+// extensions).
+
+struct U256 {
+  uint32_t w[8] = {0};
+};
+
+int u256_cmp(const U256 &a, const U256 &b) {
+  for (int i = 7; i >= 0; i--) {
+    if (a.w[i] != b.w[i]) return a.w[i] < b.w[i] ? -1 : 1;
+  }
+  return 0;
+}
+
+bool u256_is_zero(const U256 &a) {
+  for (int i = 0; i < 8; i++)
+    if (a.w[i]) return false;
+  return true;
+}
+
+// a += b, returns carry-out
+uint32_t u256_add(U256 &a, const U256 &b) {
+  uint64_t c = 0;
+  for (int i = 0; i < 8; i++) {
+    c += (uint64_t)a.w[i] + b.w[i];
+    a.w[i] = (uint32_t)c;
+    c >>= 32;
+  }
+  return (uint32_t)c;
+}
+
+// a -= b, returns borrow-out
+uint32_t u256_sub(U256 &a, const U256 &b) {
+  int64_t c = 0;
+  for (int i = 0; i < 8; i++) {
+    c += (int64_t)a.w[i] - b.w[i];
+    a.w[i] = (uint32_t)c;
+    c >>= 32;
+  }
+  return (uint32_t)(-c);
+}
+
+// 512-bit product, little-endian 16 limbs
+void u256_mul(const U256 &a, const U256 &b, uint32_t out[16]) {
+  std::memset(out, 0, 16 * sizeof(uint32_t));
+  for (int i = 0; i < 8; i++) {
+    uint64_t carry = 0;
+    for (int j = 0; j < 8; j++) {
+      uint64_t t = (uint64_t)a.w[i] * b.w[j] + out[i + j] + carry;
+      out[i + j] = (uint32_t)t;
+      carry = t >> 32;
+    }
+    out[i + 8] = (uint32_t)carry;
+  }
+}
+
+// wide (nw limbs) mod m via binary shift-subtract; m != 0
+U256 uwide_mod(const uint32_t *wide, int nw, const U256 &m) {
+  U256 r;
+  for (int bit = nw * 32 - 1; bit >= 0; bit--) {
+    // r = (r << 1) | bit
+    uint32_t carry = 0;
+    for (int i = 0; i < 8; i++) {
+      uint32_t nc = r.w[i] >> 31;
+      r.w[i] = (r.w[i] << 1) | carry;
+      carry = nc;
+    }
+    r.w[0] |= (wide[bit / 32] >> (bit % 32)) & 1;
+    if (carry || u256_cmp(r, m) >= 0) u256_sub(r, m);
+  }
+  return r;
+}
+
+U256 u256_modmul(const U256 &a, const U256 &b, const U256 &m) {
+  uint32_t wide[16];
+  u256_mul(a, b, wide);
+  return uwide_mod(wide, 16, m);
+}
+
+U256 u256_modadd(const U256 &a, const U256 &b, const U256 &m) {
+  U256 r = a;
+  uint32_t carry = u256_add(r, b);
+  if (carry || u256_cmp(r, m) >= 0) u256_sub(r, m);
+  return r;
+}
+
+U256 u256_modsub(const U256 &a, const U256 &b, const U256 &m) {
+  U256 r = a;
+  if (u256_sub(r, b)) u256_add(r, m);  // borrow: wrap by +m
+  return r;
+}
+
+// modular inverse via extended binary GCD (m odd prime, a != 0 mod m)
+U256 u256_modinv(const U256 &a0, const U256 &m) {
+  U256 u = a0, v = m, x1, x2;
+  x1.w[0] = 1;
+  auto halve = [&m](U256 &x) {
+    uint32_t carry = 0;
+    if (x.w[0] & 1) carry = u256_add(x, m);
+    for (int i = 0; i < 8; i++) {
+      uint32_t hi = (i < 7 ? x.w[i + 1] : carry) & 1;
+      x.w[i] = (x.w[i] >> 1) | (hi << 31);
+    }
+  };
+  while (!u256_is_zero(u) && !u256_is_zero(v)) {
+    while (!(u.w[0] & 1) && !u256_is_zero(u)) {
+      for (int i = 0; i < 8; i++)
+        u.w[i] = (u.w[i] >> 1) | ((i < 7 ? u.w[i + 1] : 0) & 1) << 31;
+      halve(x1);
+    }
+    while (!(v.w[0] & 1) && !u256_is_zero(v)) {
+      for (int i = 0; i < 8; i++)
+        v.w[i] = (v.w[i] >> 1) | ((i < 7 ? v.w[i + 1] : 0) & 1) << 31;
+      halve(x2);
+    }
+    if (u256_cmp(u, v) >= 0) {
+      u256_sub(u, v);
+      if (u256_sub(x1, x2)) u256_add(x1, m);
+    } else {
+      u256_sub(v, u);
+      if (u256_sub(x2, x1)) u256_add(x2, m);
+    }
+  }
+  return u256_is_zero(u) ? x2 : x1;
+}
+
+// The six supported moduli (BigIntModMulAir.SUPPORTED_MODULI order):
+// BN254 Fq/Fr, secp256k1 Fp/Fn, P-256 Fp/Fn — big-endian byte strings.
+constexpr uint8_t SUPPORTED_MODULI_BE[6][32] = {
+    {0x30, 0x64, 0x4e, 0x72, 0xe1, 0x31, 0xa0, 0x29, 0xb8, 0x50, 0x45,
+     0xb6, 0x81, 0x81, 0x58, 0x5d, 0x97, 0x81, 0x6a, 0x91, 0x68, 0x71,
+     0xca, 0x8d, 0x3c, 0x20, 0x8c, 0x16, 0xd8, 0x7c, 0xfd, 0x47},
+    {0x30, 0x64, 0x4e, 0x72, 0xe1, 0x31, 0xa0, 0x29, 0xb8, 0x50, 0x45,
+     0xb6, 0x81, 0x81, 0x58, 0x5d, 0x28, 0x33, 0xe8, 0x48, 0x79, 0xb9,
+     0x70, 0x91, 0x43, 0xe1, 0xf5, 0x93, 0xf0, 0x00, 0x00, 0x01},
+    {0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+     0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+     0xff, 0xff, 0xff, 0xff, 0xff, 0xfe, 0xff, 0xff, 0xfc, 0x2f},
+    {0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff,
+     0xff, 0xff, 0xff, 0xff, 0xfe, 0xba, 0xae, 0xdc, 0xe6, 0xaf, 0x48,
+     0xa0, 0x3b, 0xbf, 0xd2, 0x5e, 0x8c, 0xd0, 0x36, 0x41, 0x41},
+    {0xff, 0xff, 0xff, 0xff, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00,
+     0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff, 0xff,
+     0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff},
+    {0xff, 0xff, 0xff, 0xff, 0x00, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff,
+     0xff, 0xff, 0xff, 0xff, 0xff, 0xbc, 0xe6, 0xfa, 0xad, 0xa7, 0x17,
+     0x9e, 0x84, 0xf3, 0xb9, 0xca, 0xc2, 0xfc, 0x63, 0x25, 0x51},
+};
+
+U256 modulus_by_index(uint32_t idx) {
+  U256 m;
+  const uint8_t *be = SUPPORTED_MODULI_BE[idx % 6];
+  for (int i = 0; i < 32; i++) m.w[(31 - i) / 4] |= ((uint32_t)be[i]) << (8 * ((31 - i) % 4));
+  return m;
+}
+
+// ---- SHA-256 compression, for the a7=6 syscall --------------------------
+constexpr uint32_t SHA256_K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+
+inline uint32_t rotr32(uint32_t v, int n) { return (v >> n) | (v << (32 - n)); }
+
+void sha256_compress(uint32_t h[8], const uint8_t block[64]) {
+  uint32_t w[64];
+  for (int i = 0; i < 16; i++)
+    w[i] = ((uint32_t)block[4 * i] << 24) | ((uint32_t)block[4 * i + 1] << 16) |
+           ((uint32_t)block[4 * i + 2] << 8) | block[4 * i + 3];
+  for (int i = 16; i < 64; i++) {
+    uint32_t s0 = rotr32(w[i - 15], 7) ^ rotr32(w[i - 15], 18) ^ (w[i - 15] >> 3);
+    uint32_t s1 = rotr32(w[i - 2], 17) ^ rotr32(w[i - 2], 19) ^ (w[i - 2] >> 10);
+    w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+  }
+  uint32_t a = h[0], b = h[1], c = h[2], d = h[3], e = h[4], f = h[5],
+           g = h[6], hh = h[7];
+  for (int i = 0; i < 64; i++) {
+    uint32_t S1 = rotr32(e, 6) ^ rotr32(e, 11) ^ rotr32(e, 25);
+    uint32_t ch = (e & f) ^ (~e & g);
+    uint32_t t1 = hh + S1 + ch + SHA256_K[i] + w[i];
+    uint32_t S0 = rotr32(a, 2) ^ rotr32(a, 13) ^ rotr32(a, 22);
+    uint32_t maj = (a & b) ^ (a & c) ^ (b & c);
+    uint32_t t2 = S0 + maj;
+    hh = g; g = f; f = e; e = d + t1; d = c; c = b; b = a; a = t1 + t2;
+  }
+  h[0] += a; h[1] += b; h[2] += c; h[3] += d;
+  h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+}
+
+void sha256(const uint8_t *msg, size_t len, uint8_t out[32]) {
+  uint32_t h[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                   0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+  uint64_t bitlen = (uint64_t)len * 8;
+  size_t full = len / 64;
+  for (size_t i = 0; i < full; i++) sha256_compress(h, msg + 64 * i);
+  uint8_t last[128] = {0};
+  size_t rem = len - full * 64;
+  std::memcpy(last, msg + full * 64, rem);
+  last[rem] = 0x80;
+  size_t total = (rem + 9 <= 64) ? 64 : 128;
+  for (int i = 0; i < 8; i++)
+    last[total - 1 - i] = (bitlen >> (8 * i)) & 0xff;
+  sha256_compress(h, last);
+  if (total == 128) sha256_compress(h, last + 64);
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 4; j++) out[4 * i + j] = (h[i] >> (24 - 8 * j)) & 0xff;
 }
 
 // Execute one instruction; returns false if execution should stop.
@@ -344,6 +573,55 @@ bool step(Machine &m) {
         for (uint32_t i = 0; i < len; i++) msg[i] = m.load8(ptr + i);
         uint8_t digest[32];
         keccak256(msg.data(), len, digest);
+        m.touch(out_ptr, 32);
+        for (int i = 0; i < 32; i++) m.store8(out_ptr + i, digest[i]);
+      } else if (a7 == 4) { // MODOP: mem[a0..+32) = x (op) y mod M[sel]
+        // a1 = x ptr, a2 = y ptr, a3 = sel = op*16 + modulus_idx
+        // (op: 0 mul, 1 add, 2 sub) — proven by ModularVmAir+BigIntModMulAir
+        uint32_t rd_ptr = a0, xp = m.regs[11], yp = m.regs[12];
+        uint32_t sel = m.regs[13];
+        U256 x, y;
+        m.touch(xp, 32); m.touch(yp, 32);
+        for (int i = 0; i < 8; i++) x.w[i] = m.load32(xp + 4 * i);
+        for (int i = 0; i < 8; i++) y.w[i] = m.load32(yp + 4 * i);
+        U256 mod = modulus_by_index(sel & 15);
+        uint32_t op = sel >> 4;
+        U256 r = op == 0   ? u256_modmul(x, y, mod)
+                 : op == 1 ? u256_modadd(x, y, mod)
+                           : u256_modsub(x, y, mod);
+        m.touch(rd_ptr, 32);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, r.w[i]);
+      } else if (a7 == 5) { // EC_ADD: mem[a0..+64) = P + Q (affine, x1!=x2)
+        // a1 = P ptr (x||y, 8+8 words), a2 = Q ptr, a3 = base-field
+        // modulus idx — proven by EcVmAir+EcAddAir (chord law; traps on
+        // x1 == x2, matching the AIR's distinct-x-only soundness domain)
+        uint32_t rd_ptr = a0, pp = m.regs[11], qp = m.regs[12];
+        uint32_t sel = m.regs[13];
+        U256 x1, y1, x2, y2;
+        m.touch(pp, 64); m.touch(qp, 64);
+        for (int i = 0; i < 8; i++) x1.w[i] = m.load32(pp + 4 * i);
+        for (int i = 0; i < 8; i++) y1.w[i] = m.load32(pp + 32 + 4 * i);
+        for (int i = 0; i < 8; i++) x2.w[i] = m.load32(qp + 4 * i);
+        for (int i = 0; i < 8; i++) y2.w[i] = m.load32(qp + 32 + 4 * i);
+        U256 mod = modulus_by_index(sel & 15);
+        U256 dx = u256_modsub(x2, x1, mod);
+        if (u256_is_zero(dx)) { m.state = 3; return false; }
+        U256 lam = u256_modmul(u256_modsub(y2, y1, mod),
+                               u256_modinv(dx, mod), mod);
+        U256 x3 = u256_modsub(u256_modsub(u256_modmul(lam, lam, mod),
+                                          x1, mod), x2, mod);
+        U256 y3 = u256_modsub(u256_modmul(lam, u256_modsub(x1, x3, mod), mod),
+                              y1, mod);
+        m.touch(rd_ptr, 64);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, x3.w[i]);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 32 + 4 * i, y3.w[i]);
+      } else if (a7 == 6) { // SHA256(mem[a0..a0+a1)) -> mem[a2..a2+32)
+        uint32_t ptr = a0, len = m.regs[11], out_ptr = m.regs[12];
+        std::vector<uint8_t> msg(len);
+        if (len) m.touch(ptr, len);
+        for (uint32_t i = 0; i < len; i++) msg[i] = m.load8(ptr + i);
+        uint8_t digest[32];
+        sha256(msg.data(), len, digest);
         m.touch(out_ptr, 32);
         for (int i = 0; i < 32; i++) m.store8(out_ptr + i, digest[i]);
       } else {

@@ -1,0 +1,236 @@
+"""Modular-arithmetic (ECALL a7=4), EC-add (a7=5) and SHA-256 (a7=6)
+syscalls: SystemAir handoff -> ModularVmAir / EcVmAir / Sha256VmAir, with
+RAM reads/writes over the offline-checking MEM_BUS and 256-bit arithmetic
+delegated to BigIntModMulAir (and EcAddAir). Reference analog: openvm's
+modular/bigint, ecc and sha256 VM extensions
+(/root/reference/crates/circuits/chunk-circuit/openvm.toml:17-60)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from zkvm_prover_tpu.models import rv32_v2, sha256_vm, vm_ext
+from zkvm_prover_tpu.models.bigint_air import SUPPORTED_MODULI
+from zkvm_prover_tpu.stark import debug, machine
+from zkvm_prover_tpu.stark.config import StarkConfig
+from zkvm_prover_tpu.stark.fri import FriConfig
+from zkvm_prover_tpu.types.chunk.crypto.weierstrass import SECP256K1 as K1
+from zkvm_prover_tpu.vm import asm
+from zkvm_prover_tpu.vm.executor import HALTED, Rv32Executor
+
+TINY = StarkConfig(fri=FriConfig(log_blowup=1, num_queries=2,
+                                 proof_of_work_bits=2))
+BASE = 0x3000
+
+
+def _store256(val, addr):
+    out = []
+    for i in range(8):
+        out += asm.li("t0", (val >> (32 * i)) & 0xFFFFFFFF)
+        out += asm.li("t1", addr + 4 * i)
+        out.append(asm.sw("t0", "t1", 0))
+    return out
+
+
+def _reveal_word(addr, idx):
+    out = asm.li("t1", addr)
+    out.append(asm.lw("t0", "t1", 0))
+    out += asm.reveal("t0", idx)
+    return out
+
+
+def _run(prog, max_cycles=1 << 15):
+    ex = Rv32Executor()
+    ex.load_program(prog)
+    assert ex.run(max_cycles) == HALTED and ex.exit_code == 0
+    traces = rv32_v2.generate_traces(prog, ex.records(), data_base=BASE)
+    return ex, traces
+
+
+def _check_all(traces):
+    for air, tr, p in traces:
+        errs = debug.check_constraints(air, tr, p)
+        assert errs == [], (type(air).__name__, errs[:4])
+    bal = debug.check_bus_balance(
+        [(a, t) for a, t, _ in traces],
+        {i: p for i, (_, _, p) in enumerate(traces)})
+    assert bal == {}, sorted(bal)[:4]
+
+
+# --- modop -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mi", range(len(SUPPORTED_MODULI)))
+def test_modop_all_moduli(mi):
+    m = SUPPORTED_MODULI[mi]
+    x = (0x123456789ABCDEF0 * (mi + 1) ** 7 + 12345) % m
+    y = (0xFEDCBA9876543210 * (mi + 3) ** 9 + 999) % m
+    body = _store256(x, BASE) + _store256(y, BASE + 32)
+    body += asm.modop(BASE + 64, BASE, BASE + 32, asm.MODOP_MUL, mi)
+    body += asm.modop(BASE + 96, BASE, BASE + 32, asm.MODOP_ADD, mi)
+    body += asm.modop(BASE + 128, BASE, BASE + 32, asm.MODOP_SUB, mi)
+    for j, off in enumerate((64, 96, 128)):
+        body += _reveal_word(BASE + off, j)
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    pvs = ex.public_values()
+    assert pvs[0] == (x * y % m) & 0xFFFFFFFF
+    assert pvs[1] == ((x + y) % m) & 0xFFFFFFFF
+    assert pvs[2] == ((x - y) % m) & 0xFFFFFFFF
+    _check_all(traces)
+
+
+def test_modop_forged_result_breaks():
+    m = SUPPORTED_MODULI[0]
+    body = _store256(123456789, BASE) + _store256(987654321, BASE + 32)
+    body += asm.modop(BASE + 64, BASE, BASE + 32, asm.MODOP_MUL, 0)
+    body += asm.halt(0)
+    _, traces = _run(asm.assemble(body))
+    mi = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, vm_ext.ModularVmAir))
+    air, tr, _ = traces[mi]
+    bad = tr.copy()
+    bad[0, vm_ext.RES] ^= 1  # flip a result limb
+    broken = (
+        debug.check_constraints(air, bad, []) != []
+        or debug.check_bus_balance(
+            [(a, t if i != mi else bad) for i, (a, t, _) in
+             enumerate(traces)],
+            {i: p for i, (_, _, p) in enumerate(traces)}) != {}
+    )
+    assert broken
+
+
+# --- ec_add ----------------------------------------------------------------
+
+
+def _store_point(pt, addr):
+    return _store256(pt[0], addr) + _store256(pt[1], addr + 32)
+
+
+def test_ec_add_secp256k1():
+    g = K1.generator()
+    g2 = K1.mul(2, g)
+    g3 = K1.add(g, g2)
+    body = _store_point(g, BASE) + _store_point(g2, BASE + 64)
+    body += asm.ec_add(BASE + 128, BASE, BASE + 64, 2)
+    body += _reveal_word(BASE + 128, 0)
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    x3 = sum(ex.load_mem32(BASE + 128 + 4 * i) << (32 * i)
+             for i in range(8))
+    y3 = sum(ex.load_mem32(BASE + 160 + 4 * i) << (32 * i)
+             for i in range(8))
+    assert (x3, y3) == g3
+    _check_all(traces)
+
+
+def test_ec_add_forged_coordinate_breaks():
+    g = K1.generator()
+    g2 = K1.mul(2, g)
+    body = _store_point(g, BASE) + _store_point(g2, BASE + 64)
+    body += asm.ec_add(BASE + 128, BASE, BASE + 64, 2)
+    body += asm.halt(0)
+    _, traces = _run(asm.assemble(body))
+    ei = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, vm_ext.EcVmAir))
+    air, tr, _ = traces[ei]
+    bad = tr.copy()
+    bad[0, vm_ext.E_RES] ^= 1  # flip an x3 limb
+    broken = (
+        debug.check_constraints(air, bad, []) != []
+        or debug.check_bus_balance(
+            [(a, t if i != ei else bad) for i, (a, t, _) in
+             enumerate(traces)],
+            {i: p for i, (_, _, p) in enumerate(traces)}) != {}
+    )
+    assert broken
+
+
+# --- sha256 ----------------------------------------------------------------
+
+
+def _sha_guest(msg):
+    body = []
+    padded = msg + b"\0" * (-len(msg) % 4)
+    for i in range(0, len(padded), 4):
+        body += asm.li("t0", int.from_bytes(padded[i : i + 4], "little"))
+        body += asm.li("t1", BASE + i)
+        body.append(asm.sw("t0", "t1", 0))
+    body += asm.sha256(BASE, len(msg), BASE + 0x400)
+    for i in range(8):
+        body += _reveal_word(BASE + 0x400 + 4 * i, i)
+    body += asm.halt(0)
+    return asm.assemble(body)
+
+
+@pytest.mark.parametrize(
+    "msg",
+    [b"", b"sha256 on tpu!", b"\xab" * 55, b"\xcd" * 56, b"\x11" * 64,
+     b"\x22" * 150],
+    ids=["empty", "short", "fit-55", "spill-56", "exact-64", "three-block"],
+)
+def test_sha256_digest_and_constraints(msg):
+    ex, traces = _run(_sha_guest(msg))
+    digest = b"".join(int(w).to_bytes(4, "little")
+                      for w in ex.public_values())
+    assert digest == hashlib.sha256(msg).digest()
+    _check_all(traces)
+
+
+def test_sha256_forged_digest_breaks():
+    _, traces = _run(_sha_guest(b"forge me"))
+    si = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, sha256_vm.Sha256VmAir))
+    air, tr, _ = traces[si]
+    bad = tr.copy()
+    row = int(np.nonzero(bad[:, sha256_vm.IS_LAST])[0][0])
+    bad[row, sha256_vm.DIG] ^= 1
+    broken = (
+        debug.check_constraints(air, bad, []) != []
+        or debug.check_bus_balance(
+            [(a, t if i != si else bad) for i, (a, t, _) in
+             enumerate(traces)],
+            {i: p for i, (_, _, p) in enumerate(traces)}) != {}
+    )
+    assert broken
+
+
+def test_sha256_skipped_terminator_breaks():
+    """Clearing HAS_END (no 0x80 binding) must violate constraints."""
+    _, traces = _run(_sha_guest(b"no terminator"))
+    si = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, sha256_vm.Sha256VmAir))
+    air, tr, _ = traces[si]
+    bad = tr.copy()
+    row = int(np.nonzero(bad[:, sha256_vm.HAS_END])[0][0])
+    bad[row, sha256_vm.HAS_END] = 0
+    assert debug.check_constraints(air, bad, []) != []
+
+
+# --- end-to-end machine proof ---------------------------------------------
+
+
+def test_prove_verify_ext_guest():
+    """One guest exercising all three extension syscalls, proven and
+    verified at the TINY config."""
+    m = SUPPORTED_MODULI[2]
+    g = K1.generator()
+    g2 = K1.mul(2, g)
+    body = _store256(g[0], BASE) + _store256(g[1], BASE + 32)
+    body += asm.modop(BASE + 64, BASE, BASE + 32, asm.MODOP_MUL, 2)
+    body += _store_point(g, BASE + 128) + _store_point(g2, BASE + 192)
+    body += asm.ec_add(BASE + 256, BASE + 128, BASE + 192, 2)
+    body += asm.sha256(BASE + 256, 64, BASE + 0x400)
+    body += _reveal_word(BASE + 0x400, 0)
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    x3y3 = b"".join(ex.load_mem32(BASE + 256 + 4 * i).to_bytes(4, "little")
+                    for i in range(16))
+    expect = hashlib.sha256(x3y3).digest()
+    assert ex.public_values()[0] == int.from_bytes(expect[:4], "little")
+
+    instances = [machine.AirInstance(a, t, p) for a, t, p in traces]
+    proof = machine.prove_machine(instances, TINY)
+    assert machine.verify_machine([a for a, _, _ in traces], proof, TINY)

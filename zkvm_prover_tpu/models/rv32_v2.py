@@ -59,6 +59,9 @@ MEM_BUS = 26
 XOR_BUS = 27
 PV_BUS = 28
 KECCAK_REQ_BUS = 42   # SystemAir keccak syscall -> KeccakVmAir handoff
+MOD_REQ_BUS = 46      # SystemAir modop syscall -> ModularVmAir handoff
+EC_REQ_BUS = 47       # SystemAir ec_add syscall -> EcVmAir handoff
+SHA_REQ_BUS = 48      # SystemAir sha256 syscall -> Sha256VmAir handoff
 
 N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
 #                 = 32 bytes, crates/types/base/src/aggregation.rs)
@@ -1101,7 +1104,11 @@ class SystemAir(Air):
     A2_VAL = 35                  # 4 (keccak output pointer)
     A2_PREV_TS = 39
     A2_D = 40                    # 2
-    width = 42
+    F_MOD, F_EC, F_SHA = 42, 43, 44   # a7 = 4 / 5 / 6 extension syscalls
+    A3_VAL = 45                  # 4 (modop/ec selector)
+    A3_PREV_TS = 49
+    A3_D = 50                    # 2
+    width = 52
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
@@ -1114,10 +1121,14 @@ class SystemAir(Air):
         f_hint = b.local(C.F_HINT)
         f_rev = b.local(C.F_REVEAL)
         f_kec = b.local(C.F_KECCAK)
+        f_mod = b.local(C.F_MOD)
+        f_ec = b.local(C.F_EC)
+        f_sha = b.local(C.F_SHA)
         b.assert_bool(real)
-        for f in (f_halt, f_hint, f_rev, f_kec):
+        for f in (f_halt, f_hint, f_rev, f_kec, f_mod, f_ec, f_sha):
             b.assert_bool(f)
-        b.assert_eq(b.add(b.add(f_halt, f_hint), b.add(f_rev, f_kec)),
+        b.assert_eq(b.add(b.add(b.add(f_halt, f_hint), b.add(f_rev, f_kec)),
+                          b.add(b.add(f_mod, f_ec), f_sha)),
                     real)
 
         zero = b.constant(0)
@@ -1148,19 +1159,27 @@ class SystemAir(Air):
             b.push_send(BYTE_BUS, [b.local(d_col)], mult)
             b.push_send(BYTE_BUS, [b.local(d_col + 1)], mult)
 
-        # a7 (x17) read at ts: value is the syscall id (0/1/2/3 by flag)
-        a7 = [b.add(b.add(f_hint, b.mul(b.constant(2), f_rev)),
-                    b.mul(b.constant(3), f_kec)), zero, zero, zero]
+        # a7 (x17) read at ts: value is the syscall id (0..6 by flag)
+        a7 = [b.add(b.add(b.add(f_hint, b.mul(b.constant(2), f_rev)),
+                          b.add(b.mul(b.constant(3), f_kec),
+                                b.mul(b.constant(4), f_mod))),
+                    b.add(b.mul(b.constant(5), f_ec),
+                          b.mul(b.constant(6), f_sha))),
+              zero, zero, zero]
         port(17, C.A7_PREV_TS, ts, C.A7_D, a7, a7, real)
 
-        # a0 (x10) read at ts+1: halt exit code / reveal word / keccak ptr
+        # pointer-carrying syscalls: buffers < 2^16 (single-felt MEM_BUS
+        # addresses in the extension chips need no carry chains)
+        f_ptr = b.add(b.add(f_kec, f_sha), b.add(f_mod, f_ec))
+
+        # a0 (x10) read at ts+1: halt exit code / reveal word / msg or rd ptr
         a0 = [b.local(C.A0_VAL + k) for k in range(N_LIMBS)]
-        m0 = b.add(f_halt, b.add(f_rev, f_kec))
+        m0 = b.add(b.add(f_halt, f_rev), f_ptr)
         port(10, C.A0_PREV_TS, b.add(ts, one), C.A0_D, a0, a0, m0)
         for k in range(N_LIMBS):
             b.assert_zero(b.mul(f_halt, a0[k]))
-        for k in (2, 3):  # keccak msg ptr < 2^16
-            b.assert_zero(b.mul(f_kec, a0[k]))
+        for k in (2, 3):
+            b.assert_zero(b.mul(f_ptr, a0[k]))
 
         # a0 (x10) write at ts+1 for hint (host-chosen word)
         hv = [b.local(C.H_VAL + k) for k in range(N_LIMBS)]
@@ -1169,28 +1188,48 @@ class SystemAir(Air):
         for k in range(N_LIMBS):
             b.push_send(BYTE_BUS, [hv[k]], f_hint)
 
-        # a1 (x11) read at ts+2: reveal PV index / keccak msg length
+        # a1 (x11) read at ts+2: reveal PV index / msg length / x or P ptr
         a1 = [b.local(C.A1_VAL + k) for k in range(N_LIMBS)]
         port(11, C.A1_PREV_TS, b.add(ts, b.constant(2)), C.A1_D, a1, a1,
-             b.add(f_rev, f_kec))
+             b.add(f_rev, f_ptr))
         for k in range(1, N_LIMBS):
             b.assert_zero(b.mul(f_rev, a1[k]))
-        for k in (2, 3):  # keccak msg length < 2^16
-            b.assert_zero(b.mul(f_kec, a1[k]))
+        for k in (2, 3):  # msg length / pointers < 2^16
+            b.assert_zero(b.mul(f_ptr, a1[k]))
 
         b.push_send(PV_BUS, [a1[0]] + a0, f_rev)
 
-        # a2 (x12) read at ts+3: keccak output pointer (< 2^16)
+        # a2 (x12) read at ts+3: output pointer / y or Q ptr (< 2^16)
         a2 = [b.local(C.A2_VAL + k) for k in range(N_LIMBS)]
         port(12, C.A2_PREV_TS, b.add(ts, b.constant(3)), C.A2_D, a2, a2,
-             f_kec)
+             f_ptr)
         for k in (2, 3):
-            b.assert_zero(b.mul(f_kec, a2[k]))
+            b.assert_zero(b.mul(f_ptr, a2[k]))
 
-        # hand the request to KeccakVmAir
+        # a3 (x13) read at ts+4: modop/ec selector (< 256)
+        f_sel = b.add(f_mod, f_ec)
+        a3 = [b.local(C.A3_VAL + k) for k in range(N_LIMBS)]
+        port(13, C.A3_PREV_TS, b.add(ts, b.constant(4)), C.A3_D, a3, a3,
+             f_sel)
+        for k in (1, 2, 3):
+            b.assert_zero(b.mul(f_sel, a3[k]))
+
+        # hand the requests to the extension chips (which own the rest of
+        # the instruction's timestamp window and send the continuation)
         b.push_send(KECCAK_REQ_BUS,
                     [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1]],
                     f_kec)
+        b.push_send(MOD_REQ_BUS,
+                    [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1],
+                     a3[0]],
+                    f_mod)
+        b.push_send(EC_REQ_BUS,
+                    [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1],
+                     a3[0]],
+                    f_ec)
+        b.push_send(SHA_REQ_BUS,
+                    [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1]],
+                    f_sha)
 
 
 class PublicValuesAir(Air):
@@ -1819,15 +1858,17 @@ def _fill_divrem(row, st, kind, rs1_v, rs2_v, rd_v):
 
 
 def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
-    """ECALL row: variant from the tracked a7. Returns (next_pc, keccak)
-    where next_pc is None for halt and keccak is (ptr, len, out_ptr) for
-    a7=3 (the caller fills the KeccakVmAir block rows)."""
+    """ECALL row: variant from the tracked a7. Returns (next_pc, ext)
+    where next_pc is None for halt and ext is (a7, args) for the extension
+    syscalls a7 in {3: keccak, 4: modop, 5: ec_add, 6: sha256} (the caller
+    fills the extension-chip rows)."""
     C = SystemAir
     row[IS_REAL] = 1
     row[PC], row[TS] = pc, ts
     a0 = int(st.last_val[10])
     a1 = int(st.last_val[11])
     a2 = int(st.last_val[12])
+    a3 = int(st.last_val[13])
     a7 = int(st.last_val[17])
 
     def port(idx, prev_ts_col, cur_ts, d_col, new_val=None):
@@ -1854,8 +1895,8 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
             row[C.H_VAL + k] = st.bcheck(v)
         port(10, C.H_PREV_TS, ts + 1, C.H_D, new_val=rd_val)
         return pc + 4, None
-    if a7 == 3:  # KECCAK256
-        row[C.F_KECCAK] = 1
+    if a7 in (3, 4, 5, 6):  # KECCAK256 / MODOP / EC_ADD / SHA256
+        row[{3: C.F_KECCAK, 4: C.F_MOD, 5: C.F_EC, 6: C.F_SHA}[a7]] = 1
         for k, v in enumerate(_limbs(a0)):
             row[C.A0_VAL + k] = v
         port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
@@ -1865,7 +1906,12 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
         for k, v in enumerate(_limbs(a2)):
             row[C.A2_VAL + k] = v
         port(12, C.A2_PREV_TS, ts + 3, C.A2_D)
-        return pc + 4, (a0, a1, a2)
+        if a7 in (4, 5):  # selector register
+            for k, v in enumerate(_limbs(a3)):
+                row[C.A3_VAL + k] = v
+            port(13, C.A3_PREV_TS, ts + 4, C.A3_D)
+            return pc + 4, (a7, (a0, a1, a2, a3))
+        return pc + 4, (a7, (a0, a1, a2))
     assert a7 == 2, f"unknown syscall a7={a7}"
     row[C.F_REVEAL] = 1
     for k, v in enumerate(_limbs(a0)):
@@ -1929,8 +1975,14 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     rows: Dict[str, list] = {name: [] for name, *_ in _CHIPS}
     keccak_rows: list = []
     keccak_states: list = []
+    mod_rows: list = []
+    ec_rows: list = []
+    bigint_ops: list = []   # (a, b, c, m) requests BigIntModMulAir serves
+    ec_adds: list = []      # ((x1,y1), (x2,y2), m) requests EcAddAir serves
+    sha_rows: list = []
+    sha_blocks: list = []   # (h_in, block_words) Sha256Air compressions
 
-    ts_counter = 1  # running timestamp (keccak rows consume wide windows)
+    ts_counter = 1  # running timestamp (ext-chip rows consume wide windows)
     for i in range(len(records)):
         pc, instr, rs1_v, rs2_v, rd_v, mem_addr, _ = (
             int(x) for x in records[i])
@@ -1942,19 +1994,42 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         ts_counter += TS_STRIDE
         if name == "system":
             assert not st.halted, "records continue past a halt"
-            next_pc, kec = _fill_system(row, st, pc, ts, rd_v)
+            next_pc, ext = _fill_system(row, st, pc, ts, rd_v)
             rows[name].append(row)
             if next_pc is None:
                 break
-            if kec is not None:
+            if ext is not None and ext[0] == 3:
                 from .keccak_vm import KECCAK_BLOCK_TS, fill_keccak_rows
 
-                ptr, length, out_ptr = kec
+                ptr, length, out_ptr = ext[1]
                 krows, kstates = fill_keccak_rows(
                     st, pc, ts, ptr, length, out_ptr, lambda a: 0)
                 keccak_rows += krows
                 keccak_states += kstates
                 ts_counter += KECCAK_BLOCK_TS * len(krows)
+            elif ext is not None and ext[0] == 4:
+                from .vm_ext import MOD_TS_WINDOW, fill_modop_row
+
+                mrow, bop = fill_modop_row(st, pc, ts, *ext[1])
+                mod_rows.append(mrow)
+                bigint_ops.append(bop)
+                ts_counter += MOD_TS_WINDOW
+            elif ext is not None and ext[0] == 5:
+                from .vm_ext import EC_TS_WINDOW, fill_ec_row
+
+                erow, eadd = fill_ec_row(st, pc, ts, *ext[1])
+                ec_rows.append(erow)
+                ec_adds.append(eadd)
+                ts_counter += EC_TS_WINDOW
+            elif ext is not None and ext[0] == 6:
+                from .sha256_vm import SHA_BLOCK_TS, fill_sha256_rows
+
+                ptr, length, out_ptr = ext[1]
+                srows, sblocks = fill_sha256_rows(
+                    st, pc, ts, ptr, length, out_ptr)
+                sha_rows += srows
+                sha_blocks += sblocks
+                ts_counter += SHA_BLOCK_TS * len(srows)
             st.fin_pc, st.fin_ts = next_pc, ts_counter
             continue
         target = (pc + boff) if kind in BRANCH_SET | {K_JAL} else 0
@@ -2016,6 +2091,48 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             kf.generate_trace(keccak_states, [1] * len(keccak_states)),
             [],
         ))
+
+    # modular / EC syscall chips (present only when the program used them)
+    if mod_rows or ec_rows:
+        from .bigint_air import BigIntModMulAir
+        from .vm_ext import EC_NUM_COLS, MOD_NUM_COLS, EcVmAir, ModularVmAir
+
+        if mod_rows:
+            n_m = max(4, 1 << (len(mod_rows) - 1).bit_length())
+            m_tr = np.zeros((n_m, MOD_NUM_COLS), dtype=np.uint32)
+            for j, r in enumerate(mod_rows):
+                m_tr[j] = r
+            out.append((ModularVmAir(), m_tr, []))
+        if ec_rows:
+            from .ec_air import EcAddAir
+
+            n_e = max(4, 1 << (len(ec_rows) - 1).bit_length())
+            e_tr = np.zeros((n_e, EC_NUM_COLS), dtype=np.uint32)
+            for j, r in enumerate(ec_rows):
+                e_tr[j] = r
+            out.append((EcVmAir(), e_tr, []))
+            ec_trace, ec_requests = EcAddAir.generate_trace(ec_adds)
+            out.append((EcAddAir(), ec_trace, []))
+            bigint_ops = bigint_ops + ec_requests
+        bi_trace = BigIntModMulAir.generate_trace(bigint_ops)
+        st.byte_counts += BigIntModMulAir.byte_lookups(bi_trace)
+        out.append((BigIntModMulAir(), bi_trace, []))
+
+    # sha256 syscall chips
+    if sha_rows:
+        from .sha256_air import Sha256Air
+        from .sha256_vm import SHA_NUM_COLS, Sha256VmAir
+
+        n_s = max(4, 1 << (len(sha_rows) - 1).bit_length())
+        s_tr = np.zeros((n_s, SHA_NUM_COLS), dtype=np.uint32)
+        for j, r in enumerate(sha_rows):
+            s_tr[j] = r
+        out.append((Sha256VmAir(), s_tr, []))
+        n_cmp_rows = 64 * len(sha_blocks)
+        sa_log_n = max(6, (n_cmp_rows - 1).bit_length())
+        sa = Sha256Air(log_n=sa_log_n)
+        sa_tr = sa.generate_trace(sha_blocks, [1] * len(sha_blocks))
+        out.append((sa, sa_tr, []))
 
     # program ROM
     program_air = ProgramAirV2(program_words)

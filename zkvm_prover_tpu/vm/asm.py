@@ -275,6 +275,49 @@ def keccak256(ptr: int, length: int, out_ptr: int):
     return out
 
 
+def sha256(ptr: int, length: int, out_ptr: int):
+    """sha256(mem[ptr..ptr+length)) -> mem[out_ptr..out_ptr+32):
+    a0=ptr; a1=len; a2=out; a7=6; ecall. Buffers must be word-aligned."""
+    out = []
+    out += li("a0", ptr)
+    out += li("a1", length)
+    out += li("a2", out_ptr)
+    out += li("a7", 6)
+    out.append(ecall())
+    return out
+
+
+MODOP_MUL, MODOP_ADD, MODOP_SUB = 0, 1, 2
+
+
+def modop(rd_ptr: int, x_ptr: int, y_ptr: int, op: int, modulus_idx: int):
+    """mem[rd_ptr..+32) = mem[x_ptr..+32) (op) mem[y_ptr..+32) mod M[idx]:
+    a0=rd; a1=x; a2=y; a3=op*16+idx; a7=4; ecall. 256-bit LE operands,
+    word-aligned. Moduli: BigIntModMulAir.SUPPORTED_MODULI order."""
+    out = []
+    out += li("a0", rd_ptr)
+    out += li("a1", x_ptr)
+    out += li("a2", y_ptr)
+    out += li("a3", op * 16 + modulus_idx)
+    out += li("a7", 4)
+    out.append(ecall())
+    return out
+
+
+def ec_add(rd_ptr: int, p_ptr: int, q_ptr: int, modulus_idx: int):
+    """mem[rd_ptr..+64) = affine P+Q (x||y, 256-bit LE coords each):
+    a0=rd; a1=P; a2=Q; a3=base-field modulus idx; a7=5; ecall.
+    Distinct-x adds only (x1 == x2 traps — EcAddAir soundness domain)."""
+    out = []
+    out += li("a0", rd_ptr)
+    out += li("a1", p_ptr)
+    out += li("a2", q_ptr)
+    out += li("a3", modulus_idx)
+    out += li("a7", 5)
+    out.append(ecall())
+    return out
+
+
 def assemble(items: List, base: int = 0) -> List[int]:
     """Two-pass assembly: items are ints (words), lists of ints, or
     ('label', name) / ('branch', fn, rs1, rs2, name) / ('jal', rd, name)."""
