@@ -127,3 +127,57 @@ def test_sharded_fri_fold_matches_single_device(mesh8):
     got2 = np.asarray(fold_round_sharded(
         jnp.asarray(want), log_m - 1, shift2, beta, mesh8))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_sharded_ood_eval_matches(mesh8):
+    """eval_poly_at_point_ext_sharded == single-device OOD opening."""
+    from zkvm_prover_tpu.parallel.pipeline_sharded import (
+        eval_poly_at_point_ext_sharded,
+    )
+
+    log_n, w = 9, 3
+    n = 1 << log_n
+    c = bb.to_monty(jnp.asarray(
+        RNG.integers(0, bb.P, size=(n, w), dtype=np.uint64)
+        .astype(np.uint32)))
+    z = bb.to_monty(jnp.asarray(
+        RNG.integers(0, bb.P, size=(4,), dtype=np.uint64).astype(np.uint32)))
+    got = np.asarray(eval_poly_at_point_ext_sharded(c, z, mesh8))
+    want = np.asarray(ntt.eval_poly_at_point_ext(np.asarray(c),
+                                                 np.asarray(z)))
+    assert (got == want).all()
+
+
+def test_sharded_full_prover_core_bit_identical(mesh8):
+    """The ENTIRE prover core (LDE -> commit -> quotient -> OOD -> DEEP ->
+    FRI fold) sharded over the 8-device mesh equals the single-device
+    pipeline bit for bit (VERDICT 'shard the whole prover')."""
+    from zkvm_prover_tpu.models.fibonacci import FibonacciAir
+    from zkvm_prover_tpu.parallel.pipeline_sharded import (
+        make_prover_core_sharded,
+    )
+    from zkvm_prover_tpu.stark.config import StarkConfig
+    from zkvm_prover_tpu.stark.pipeline import make_prover_core
+
+    log_n = 8
+    air = FibonacciAir()
+    trace, pvs = air.generate_trace(log_n)
+    cfg = StarkConfig()
+    core = make_prover_core(air, log_n, cfg)
+    score = make_prover_core_sharded(air, log_n, cfg, mesh8)
+
+    trace_m = bb.to_monty(jnp.asarray(trace))
+    pvs_m = jnp.asarray(
+        np.array([bb.to_monty_int(v) for v in pvs], dtype=np.uint32))
+
+    def rext():
+        return bb.to_monty(jnp.asarray(
+            RNG.integers(0, bb.P, size=(4,), dtype=np.uint64)
+            .astype(np.uint32)))
+
+    args = (trace_m, pvs_m, rext(), rext(), rext())
+    single = core(*args)
+    sharded = score(*args)
+    for name, x, y in zip(("trace_root", "q_root", "codeword", "folded"),
+                          single, sharded):
+        assert (np.asarray(x) == np.asarray(y)).all(), name
