@@ -30,6 +30,9 @@
 //           distinct-x adds only — x1 == x2 traps)
 //       6 = SHA256: digest of mem[a0 .. a0+a1) written to mem[a2 .. a2+32)
 //           (the openvm sha256 extension analog; proven by Sha256Air)
+//       7 = EC_DOUBLE: mem[a0..+64) = affine 2*P for mem[a1..+64), a3 =
+//           base-field modulus index (a = 0 curves only: P-256 rejected;
+//           y == 0 traps — proven by EcDoubleVmAir + EcDoubleAir)
 //   - segmentation: execution stops after `max_cycles` with state
 //     PAUSED so the host can snapshot boundary state (continuations).
 
@@ -610,6 +613,29 @@ bool step(Machine &m) {
                                u256_modinv(dx, mod), mod);
         U256 x3 = u256_modsub(u256_modsub(u256_modmul(lam, lam, mod),
                                           x1, mod), x2, mod);
+        U256 y3 = u256_modsub(u256_modmul(lam, u256_modsub(x1, x3, mod), mod),
+                              y1, mod);
+        m.touch(rd_ptr, 64);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, x3.w[i]);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 32 + 4 * i, y3.w[i]);
+      } else if (a7 == 7) { // EC_DOUBLE: mem[a0..+64) = 2*P (a=0 tangent)
+        // a1 = P ptr (x||y), a3 = base-field modulus idx (not P-256) —
+        // proven by EcDoubleVmAir+EcDoubleAir; traps on y == 0
+        uint32_t rd_ptr = a0, pp = m.regs[11];
+        uint32_t sel = m.regs[13];
+        if ((sel & 15) == 4) { m.state = 3; return false; } // P-256: a != 0
+        U256 x1, y1;
+        m.touch(pp, 64);
+        for (int i = 0; i < 8; i++) x1.w[i] = m.load32(pp + 4 * i);
+        for (int i = 0; i < 8; i++) y1.w[i] = m.load32(pp + 32 + 4 * i);
+        U256 mod = modulus_by_index(sel & 15);
+        U256 two_y = u256_modadd(y1, y1, mod);
+        if (u256_is_zero(two_y)) { m.state = 3; return false; }
+        U256 x1sq = u256_modmul(x1, x1, mod);
+        U256 num = u256_modadd(u256_modadd(x1sq, x1sq, mod), x1sq, mod);
+        U256 lam = u256_modmul(num, u256_modinv(two_y, mod), mod);
+        U256 x3 = u256_modsub(u256_modsub(u256_modmul(lam, lam, mod),
+                                          x1, mod), x1, mod);
         U256 y3 = u256_modsub(u256_modmul(lam, u256_modsub(x1, x3, mod), mod),
                               y1, mod);
         m.touch(rd_ptr, 64);

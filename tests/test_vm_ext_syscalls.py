@@ -234,3 +234,58 @@ def test_prove_verify_ext_guest():
     instances = [machine.AirInstance(a, t, p) for a, t, p in traces]
     proof = machine.prove_machine(instances, TINY)
     assert machine.verify_machine([a for a, _, _ in traces], proof, TINY)
+
+
+# --- ec_double -------------------------------------------------------------
+
+
+def test_ec_double_secp256k1():
+    g = K1.generator()
+    g2 = K1.mul(2, g)
+    body = _store_point(g, BASE)
+    body += asm.ec_double(BASE + 64, BASE, 2)
+    body += _reveal_word(BASE + 64, 0)
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    x3 = sum(ex.load_mem32(BASE + 64 + 4 * i) << (32 * i) for i in range(8))
+    y3 = sum(ex.load_mem32(BASE + 96 + 4 * i) << (32 * i) for i in range(8))
+    assert (x3, y3) == g2
+    _check_all(traces)
+
+
+def test_ec_double_then_add_matches_triple():
+    """2G (double) + G (add) == 3G, both syscalls in one guest."""
+    g = K1.generator()
+    g3 = K1.mul(3, g)
+    body = _store_point(g, BASE)
+    body += asm.ec_double(BASE + 64, BASE, 2)
+    body += asm.ec_add(BASE + 128, BASE + 64, BASE, 2)
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    x = sum(ex.load_mem32(BASE + 128 + 4 * i) << (32 * i) for i in range(8))
+    y = sum(ex.load_mem32(BASE + 160 + 4 * i) << (32 * i) for i in range(8))
+    assert (x, y) == g3
+    _check_all(traces)
+
+
+def test_ec_double_forged_result_breaks():
+    from zkvm_prover_tpu.models.vm_ext import D_RES, EcDoubleVmAir
+
+    g = K1.generator()
+    body = _store_point(g, BASE)
+    body += asm.ec_double(BASE + 64, BASE, 2)
+    body += asm.halt(0)
+    _, traces = _run(asm.assemble(body))
+    di = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, EcDoubleVmAir))
+    air, tr, _ = traces[di]
+    bad = tr.copy()
+    bad[0, D_RES] ^= 1
+    broken = (
+        debug.check_constraints(air, bad, []) != []
+        or debug.check_bus_balance(
+            [(a, t if i != di else bad) for i, (a, t, _) in
+             enumerate(traces)],
+            {i: p for i, (_, _, p) in enumerate(traces)}) != {}
+    )
+    assert broken

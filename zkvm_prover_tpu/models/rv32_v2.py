@@ -62,6 +62,7 @@ KECCAK_REQ_BUS = 42   # SystemAir keccak syscall -> KeccakVmAir handoff
 MOD_REQ_BUS = 46      # SystemAir modop syscall -> ModularVmAir handoff
 EC_REQ_BUS = 47       # SystemAir ec_add syscall -> EcVmAir handoff
 SHA_REQ_BUS = 48      # SystemAir sha256 syscall -> Sha256VmAir handoff
+EC_DBL_REQ_BUS = 50   # SystemAir ec_double syscall -> EcDoubleVmAir handoff
 
 N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
 #                 = 32 bytes, crates/types/base/src/aggregation.rs)
@@ -1108,7 +1109,8 @@ class SystemAir(Air):
     A3_VAL = 45                  # 4 (modop/ec selector)
     A3_PREV_TS = 49
     A3_D = 50                    # 2
-    width = 52
+    F_DBL = 52                   # a7 = 7 (ec_double)
+    width = 53
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
@@ -1124,11 +1126,12 @@ class SystemAir(Air):
         f_mod = b.local(C.F_MOD)
         f_ec = b.local(C.F_EC)
         f_sha = b.local(C.F_SHA)
+        f_dbl = b.local(C.F_DBL)
         b.assert_bool(real)
-        for f in (f_halt, f_hint, f_rev, f_kec, f_mod, f_ec, f_sha):
+        for f in (f_halt, f_hint, f_rev, f_kec, f_mod, f_ec, f_sha, f_dbl):
             b.assert_bool(f)
         b.assert_eq(b.add(b.add(b.add(f_halt, f_hint), b.add(f_rev, f_kec)),
-                          b.add(b.add(f_mod, f_ec), f_sha)),
+                          b.add(b.add(f_mod, f_ec), b.add(f_sha, f_dbl))),
                     real)
 
         zero = b.constant(0)
@@ -1159,18 +1162,20 @@ class SystemAir(Air):
             b.push_send(BYTE_BUS, [b.local(d_col)], mult)
             b.push_send(BYTE_BUS, [b.local(d_col + 1)], mult)
 
-        # a7 (x17) read at ts: value is the syscall id (0..6 by flag)
+        # a7 (x17) read at ts: value is the syscall id (0..7 by flag)
         a7 = [b.add(b.add(b.add(f_hint, b.mul(b.constant(2), f_rev)),
                           b.add(b.mul(b.constant(3), f_kec),
                                 b.mul(b.constant(4), f_mod))),
-                    b.add(b.mul(b.constant(5), f_ec),
-                          b.mul(b.constant(6), f_sha))),
+                    b.add(b.add(b.mul(b.constant(5), f_ec),
+                                b.mul(b.constant(6), f_sha)),
+                          b.mul(b.constant(7), f_dbl))),
               zero, zero, zero]
         port(17, C.A7_PREV_TS, ts, C.A7_D, a7, a7, real)
 
         # pointer-carrying syscalls: buffers < 2^16 (single-felt MEM_BUS
         # addresses in the extension chips need no carry chains)
-        f_ptr = b.add(b.add(f_kec, f_sha), b.add(f_mod, f_ec))
+        f_ptr = b.add(b.add(b.add(f_kec, f_sha), b.add(f_mod, f_ec)),
+                      f_dbl)
 
         # a0 (x10) read at ts+1: halt exit code / reveal word / msg or rd ptr
         a0 = [b.local(C.A0_VAL + k) for k in range(N_LIMBS)]
@@ -1206,8 +1211,8 @@ class SystemAir(Air):
         for k in (2, 3):
             b.assert_zero(b.mul(f_ptr, a2[k]))
 
-        # a3 (x13) read at ts+4: modop/ec selector (< 256)
-        f_sel = b.add(f_mod, f_ec)
+        # a3 (x13) read at ts+4: modop/ec/double selector (< 256)
+        f_sel = b.add(b.add(f_mod, f_ec), f_dbl)
         a3 = [b.local(C.A3_VAL + k) for k in range(N_LIMBS)]
         port(13, C.A3_PREV_TS, b.add(ts, b.constant(4)), C.A3_D, a3, a3,
              f_sel)
@@ -1230,6 +1235,9 @@ class SystemAir(Air):
         b.push_send(SHA_REQ_BUS,
                     [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1]],
                     f_sha)
+        b.push_send(EC_DBL_REQ_BUS,
+                    [pc, ts, a0[0], a0[1], a1[0], a1[1], a3[0]],
+                    f_dbl)
 
 
 class PublicValuesAir(Air):
@@ -1895,8 +1903,9 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
             row[C.H_VAL + k] = st.bcheck(v)
         port(10, C.H_PREV_TS, ts + 1, C.H_D, new_val=rd_val)
         return pc + 4, None
-    if a7 in (3, 4, 5, 6):  # KECCAK256 / MODOP / EC_ADD / SHA256
-        row[{3: C.F_KECCAK, 4: C.F_MOD, 5: C.F_EC, 6: C.F_SHA}[a7]] = 1
+    if a7 in (3, 4, 5, 6, 7):  # KECCAK / MODOP / EC_ADD / SHA256 / EC_DBL
+        row[{3: C.F_KECCAK, 4: C.F_MOD, 5: C.F_EC, 6: C.F_SHA,
+             7: C.F_DBL}[a7]] = 1
         for k, v in enumerate(_limbs(a0)):
             row[C.A0_VAL + k] = v
         port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
@@ -1906,10 +1915,12 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
         for k, v in enumerate(_limbs(a2)):
             row[C.A2_VAL + k] = v
         port(12, C.A2_PREV_TS, ts + 3, C.A2_D)
-        if a7 in (4, 5):  # selector register
+        if a7 in (4, 5, 7):  # selector register
             for k, v in enumerate(_limbs(a3)):
                 row[C.A3_VAL + k] = v
             port(13, C.A3_PREV_TS, ts + 4, C.A3_D)
+            if a7 == 7:  # ec_double: a2 read but unused
+                return pc + 4, (a7, (a0, a1, a3))
             return pc + 4, (a7, (a0, a1, a2, a3))
         return pc + 4, (a7, (a0, a1, a2))
     assert a7 == 2, f"unknown syscall a7={a7}"
@@ -1977,8 +1988,10 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     keccak_states: list = []
     mod_rows: list = []
     ec_rows: list = []
+    dbl_rows: list = []
     bigint_ops: list = []   # (a, b, c, m) requests BigIntModMulAir serves
     ec_adds: list = []      # ((x1,y1), (x2,y2), m) requests EcAddAir serves
+    ec_doubles: list = []   # ((x1,y1), m) requests EcDoubleAir serves
     sha_rows: list = []
     sha_blocks: list = []   # (h_in, block_words) Sha256Air compressions
 
@@ -2030,6 +2043,13 @@ def generate_traces(program_words: List[int], records: np.ndarray,
                 sha_rows += srows
                 sha_blocks += sblocks
                 ts_counter += SHA_BLOCK_TS * len(srows)
+            elif ext is not None and ext[0] == 7:
+                from .vm_ext import DBL_TS_WINDOW, fill_ec_double_row
+
+                drow, dbl = fill_ec_double_row(st, pc, ts, *ext[1])
+                dbl_rows.append(drow)
+                ec_doubles.append(dbl)
+                ts_counter += DBL_TS_WINDOW
             st.fin_pc, st.fin_ts = next_pc, ts_counter
             continue
         target = (pc + boff) if kind in BRANCH_SET | {K_JAL} else 0
@@ -2093,7 +2113,7 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         ))
 
     # modular / EC syscall chips (present only when the program used them)
-    if mod_rows or ec_rows:
+    if mod_rows or ec_rows or dbl_rows:
         from .bigint_air import BigIntModMulAir
         from .vm_ext import EC_NUM_COLS, MOD_NUM_COLS, EcVmAir, ModularVmAir
 
@@ -2114,6 +2134,18 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             ec_trace, ec_requests = EcAddAir.generate_trace(ec_adds)
             out.append((EcAddAir(), ec_trace, []))
             bigint_ops = bigint_ops + ec_requests
+        if dbl_rows:
+            from .ec_double import EcDoubleAir
+            from .vm_ext import DBL_NUM_COLS, EcDoubleVmAir
+
+            n_d = max(4, 1 << (len(dbl_rows) - 1).bit_length())
+            d_tr = np.zeros((n_d, DBL_NUM_COLS), dtype=np.uint32)
+            for j, r in enumerate(dbl_rows):
+                d_tr[j] = r
+            out.append((EcDoubleVmAir(), d_tr, []))
+            dbl_trace, dbl_requests = EcDoubleAir.generate_trace(ec_doubles)
+            out.append((EcDoubleAir(), dbl_trace, []))
+            bigint_ops = bigint_ops + dbl_requests
         bi_trace = BigIntModMulAir.generate_trace(bigint_ops)
         st.byte_counts += BigIntModMulAir.byte_lookups(bi_trace)
         out.append((BigIntModMulAir(), bi_trace, []))

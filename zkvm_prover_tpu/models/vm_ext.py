@@ -475,3 +475,186 @@ def fill_ec_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
             row[base + 3 + k] = (old >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, (res >> (32 * w)) & 0xFFFFFFFF)
     return row, ((x1, y1), (x2, y2), m)
+
+
+# --- EcDoubleVmAir ---------------------------------------------------------
+# One affine point doubling per row (ECALL a7=7), delegated to EcDoubleAir.
+# P-256 (modulus idx 4) is rejected: the tangent chip implements the a = 0
+# law and P-256 has a = -3 (see models/ec_double.py).
+D_IS_REAL = 0
+D_FMOD = 1                      # 6 modulus one-hot flags
+D_REQ_PC = D_FMOD + N_MODULI    # 7
+D_REQ_TS = D_REQ_PC + 1
+D_RD0, D_RD1 = D_REQ_TS + 1, D_REQ_TS + 2
+D_P0, D_P1 = D_RD1 + 1, D_RD1 + 2
+D_SEL = D_P1 + 1
+D_RD_Q, D_P_Q = D_SEL + 1, D_SEL + 2
+D_PRD = D_P_Q + 1               # 16 x [prev_ts, d0, d1, v0..v3] (x1||y1)
+D_WRP = D_PRD + 7 * 2 * N_WORDS
+D_RES = D_WRP + 7 * 2 * N_WORDS  # 64 result limbs (x3||y3)
+DBL_NUM_COLS = D_RES + 2 * N_LIMBS
+DBL_TS_WINDOW = 40               # 16 reads + 16 writes + margin
+
+
+class EcDoubleVmAir(Air):
+    """One affine EC point doubling per row, delegated to EcDoubleAir
+    (which delegates to BigIntModMulAir). Request: (pc, ts, rd_ptr,
+    p_ptr, sel) with sel = base-field modulus index (a = 0 curves only).
+    """
+
+    width = DBL_NUM_COLS
+    num_public_values = 0
+
+    def eval(self, b: AirBuilder) -> None:
+        from .ec_double import EC_DBL_BUS
+        from .rv32_v2 import EC_DBL_REQ_BUS
+
+        one = b.constant(1)
+        c256 = b.constant(256)
+        real = b.local(D_IS_REAL)
+        b.assert_bool(real)
+        f_m = [b.local(D_FMOD + j) for j in range(N_MODULI)]
+        for f in f_m:
+            b.assert_bool(f)
+        m_sum = f_m[0]
+        for f in f_m[1:]:
+            m_sum = b.add(m_sum, f)
+        b.assert_eq(m_sum, real)
+        # P-256 base field (idx 4) has a != 0: the tangent law is unsound
+        b.assert_zero(f_m[4])
+        sel_expr = None
+        for j in range(1, N_MODULI):
+            t = b.mul(b.constant(j), f_m[j])
+            sel_expr = t if sel_expr is None else b.add(sel_expr, t)
+        b.assert_zero(b.mul(real, b.sub(b.local(D_SEL), sel_expr)))
+
+        pc, ts = b.local(D_REQ_PC), b.local(D_REQ_TS)
+        b.push_receive(
+            EC_DBL_REQ_BUS,
+            [pc, ts, b.local(D_RD0), b.local(D_RD1), b.local(D_P0),
+             b.local(D_P1), b.local(D_SEL)],
+            real)
+
+        for col in (D_RD1, D_P1):
+            b.push_send(BYTE_BUS, [b.local(col)], real)
+        for q_col, p_col in ((D_RD_Q, D_RD0), (D_P_Q, D_P0)):
+            q4 = b.mul(b.constant(4), b.local(q_col))
+            b.assert_zero(b.mul(real, b.sub(b.local(p_col), q4)))
+            b.push_send(BYTE_BUS, [q4], real)
+        rd_f = b.add(b.local(D_RD0), b.mul(c256, b.local(D_RD1)))
+        p_f = b.add(b.local(D_P0), b.mul(c256, b.local(D_P1)))
+
+        ts_base = b.add(ts, b.constant(TS_STRIDE))
+
+        def mem_port(base_col, addr, cur_ts, old_vals, new_vals, mult):
+            prev_ts = b.local(base_col)
+            b.push_receive(MEM_BUS, [addr, prev_ts] + old_vals, mult)
+            b.push_send(MEM_BUS, [addr, cur_ts] + new_vals, mult)
+            diff = b.sub(b.sub(cur_ts, prev_ts), one)
+            recon = b.add(b.local(base_col + 1),
+                          b.mul(c256, b.local(base_col + 2)))
+            b.assert_zero(b.mul(mult, b.sub(diff, recon)))
+            b.push_send(BYTE_BUS, [b.local(base_col + 1)], mult)
+            b.push_send(BYTE_BUS, [b.local(base_col + 2)], mult)
+
+        p_limbs = []
+        for w in range(2 * N_WORDS):
+            base = D_PRD + 7 * w
+            vals = [b.local(base + 3 + k) for k in range(4)]
+            p_limbs += vals
+            mem_port(base, b.add(p_f, b.constant(4 * w)),
+                     b.add(ts_base, b.constant(w)), vals, vals, real)
+        r_limbs = [b.local(D_RES + k) for k in range(2 * N_LIMBS)]
+        for w in range(2 * N_WORDS):
+            base = D_WRP + 7 * w
+            old = [b.local(base + 3 + k) for k in range(4)]
+            new = r_limbs[4 * w : 4 * w + 4]
+            mem_port(base, b.add(rd_f, b.constant(4 * w)),
+                     b.add(ts_base, b.constant(2 * N_WORDS + w)), old, new,
+                     real)
+
+        m_limbs = []
+        for k in range(N_LIMBS):
+            acc = None
+            for j in range(N_MODULI):
+                if M_TABLE[j][k] == 0:
+                    continue
+                t = b.mul(b.constant(M_TABLE[j][k]), f_m[j])
+                acc = t if acc is None else b.add(acc, t)
+            m_limbs.append(acc if acc is not None else b.constant(0))
+
+        # (x1, y1, x3, y3, m) -> EcDoubleAir
+        b.push_send(EC_DBL_BUS, p_limbs + r_limbs + m_limbs, real)
+
+        b.push_send(
+            EXEC_BUS,
+            [b.add(pc, b.constant(4)),
+             b.add(ts, b.constant(TS_STRIDE + DBL_TS_WINDOW))],
+            real)
+
+
+def fill_ec_double_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
+                       sel: int) -> Tuple[np.ndarray, Tuple]:
+    """Build the EcDoubleVmAir row for one a7=7 syscall. Returns
+    (row, double) where double is the ((x1, y1), m) tuple EcDoubleAir
+    must serve."""
+    for p in (rd_ptr, p_ptr):
+        assert p % 4 == 0 and st.data_base <= p < (1 << 16), (
+            "ec buffers must be word-aligned RAM addresses")
+    assert sel < N_MODULI and sel != 4, "P-256 doubling unsupported (a != 0)"
+    m = SUPPORTED_MODULI[sel]
+    row = np.zeros(DBL_NUM_COLS, dtype=np.uint32)
+    row[D_IS_REAL] = 1
+    row[D_FMOD + sel] = 1
+    row[D_REQ_PC], row[D_REQ_TS] = pc, ts
+    row[D_RD0], row[D_RD1] = rd_ptr & 0xFF, rd_ptr >> 8
+    row[D_P0], row[D_P1] = p_ptr & 0xFF, p_ptr >> 8
+    row[D_SEL] = sel
+    row[D_RD_Q] = (rd_ptr & 0xFF) >> 2
+    row[D_P_Q] = (p_ptr & 0xFF) >> 2
+    for col in (D_RD1, D_P1):
+        st.bcheck(int(row[col]))
+    for q_col in (D_RD_Q, D_P_Q):
+        st.bcheck(4 * int(row[q_col]))
+
+    ts_base = ts + TS_STRIDE
+
+    def read_op(base, ptr, w, cur_ts):
+        addr = ptr + 4 * w
+        ent = st.ram.get(addr)
+        prev_ts, val = ent if ent is not None else (0, 0)
+        row[base] = prev_ts
+        d = cur_ts - prev_ts - 1
+        row[base + 1] = st.bcheck(d & 0xFF)
+        row[base + 2] = st.bcheck(d >> 8)
+        for k in range(4):
+            row[base + 3 + k] = (val >> (8 * k)) & 0xFF
+        st.ram[addr] = (cur_ts, val)
+        return val
+
+    pv = 0
+    for w in range(2 * N_WORDS):
+        pv |= read_op(D_PRD + 7 * w, p_ptr, w, ts_base + w) << (32 * w)
+    x1, y1 = pv & ((1 << 256) - 1), pv >> 256
+    assert y1 % m != 0, "doubling an order-2 point (y == 0)"
+    lam = 3 * x1 * x1 * pow(2 * y1, -1, m) % m
+    x3 = (lam * lam - 2 * x1) % m
+    y3 = (lam * (x1 - x3) - y1) % m
+    res = x3 | (y3 << 256)
+    for k in range(2 * N_LIMBS):
+        row[D_RES + k] = (res >> (8 * k)) & 0xFF
+
+    for w in range(2 * N_WORDS):
+        base = D_WRP + 7 * w
+        addr = rd_ptr + 4 * w
+        cur_ts = ts_base + 2 * N_WORDS + w
+        ent = st.ram.get(addr)
+        prev_ts, old = ent if ent is not None else (0, 0)
+        row[base] = prev_ts
+        d = cur_ts - prev_ts - 1
+        row[base + 1] = st.bcheck(d & 0xFF)
+        row[base + 2] = st.bcheck(d >> 8)
+        for k in range(4):
+            row[base + 3 + k] = (old >> (8 * k)) & 0xFF
+        st.ram[addr] = (cur_ts, (res >> (32 * w)) & 0xFFFFFFFF)
+    return row, ((x1, y1), m)

@@ -318,6 +318,20 @@ def ec_add(rd_ptr: int, p_ptr: int, q_ptr: int, modulus_idx: int):
     return out
 
 
+def ec_double(rd_ptr: int, p_ptr: int, modulus_idx: int):
+    """mem[rd_ptr..+64) = affine 2*P (a = 0 tangent law):
+    a0=rd; a1=P; a2=0; a3=base-field modulus idx; a7=7; ecall.
+    P-256 (idx 4) rejected (a != 0); y == 0 traps."""
+    out = []
+    out += li("a0", rd_ptr)
+    out += li("a1", p_ptr)
+    out += li("a2", 0)
+    out += li("a3", modulus_idx)
+    out += li("a7", 7)
+    out.append(ecall())
+    return out
+
+
 def assemble(items: List, base: int = 0) -> List[int]:
     """Two-pass assembly: items are ints (words), lists of ints, or
     ('label', name) / ('branch', fn, rs1, rs2, name) / ('jal', rd, name)."""
