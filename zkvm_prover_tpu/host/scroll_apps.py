@@ -93,6 +93,7 @@ class _VmHashApp(CircuitApp):
             rv32_v2.PublicValuesAir(),
             rv32_v2.ExecBoundaryAirV2(), rv32_v2.RamBoundaryAirV2(),
             MemoryBoundaryAir(), ByteTableAir(), rv32_v2.XorTableAir(),
+            rv32_v2.Range16TableAir(),
         ]
 
     def execute(self, task: ProvingTask):

@@ -38,6 +38,7 @@ from .rv32_v2 import (
     EXEC_BUS,
     KECCAK_REQ_BUS,
     MEM_BUS,
+    RANGE16_BUS,
     TS_STRIDE,
     XOR_BUS,
 )
@@ -152,9 +153,10 @@ class KeccakVmAir(Air):
             b.push_send(MEM_BUS, [addr, cur_ts] + new_vals, mult)
             diff = b.sub(b.sub(cur_ts, prev_ts), one)
             recon = b.add(b.local(base_col + 1),
-                          b.mul(c256, b.local(base_col + 2)))
+                          b.mul(b.constant(1 << 16),
+                                b.local(base_col + 2)))
             b.assert_zero(b.mul(mult, b.sub(diff, recon)))
-            b.push_send(BYTE_BUS, [b.local(base_col + 1)], mult)
+            b.push_send(RANGE16_BUS, [b.local(base_col + 1)], mult)
             b.push_send(BYTE_BUS, [b.local(base_col + 2)], mult)
 
         # message word reads (word w needed iff byte 4w is message)
@@ -278,8 +280,8 @@ def fill_keccak_rows(st, pc: int, ts: int, ptr: int, length: int,
             base = RDP + 7 * w
             row[base] = prev_ts
             d = cur_ts - prev_ts - 1
-            row[base + 1] = st.bcheck(d & 0xFF)
-            row[base + 2] = st.bcheck(d >> 8)
+            row[base + 1] = st.r16check(d & 0xFFFF)
+            row[base + 2] = st.bcheck(d >> 16)
             for k in range(4):
                 byte = (val >> (8 * k)) & 0xFF
                 row[base + 3 + k] = byte
@@ -323,8 +325,8 @@ def fill_keccak_rows(st, pc: int, ts: int, ptr: int, length: int,
                 base = WRP + 7 * k
                 row[base] = prev_ts
                 d = cur_ts - prev_ts - 1
-                row[base + 1] = st.bcheck(d & 0xFF)
-                row[base + 2] = st.bcheck(d >> 8)
+                row[base + 1] = st.r16check(d & 0xFFFF)
+                row[base + 2] = st.bcheck(d >> 16)
                 for t in range(4):
                     row[base + 3 + t] = (old >> (8 * t)) & 0xFF
                 new_word = int.from_bytes(

@@ -16,7 +16,7 @@ Design:
   lanes 0..3. Segment public values carry the pre/post roots.
 - In-segment consistency stays offline memory checking (REG_BUS/MEM_BUS,
   per-segment timestamps restarting at 1 — this is what bounds segment
-  length and makes 16-bit ts-diff range checks sound).
+  length and makes 24-bit ts-diff range checks sound).
 - `MemoryBoundaryAirV3` opens every touched cell at ts 0 with its WITNESSED
   pre-segment value and closes at the final (ts, value), and emits the
   (leaf, old, new) level-0 message into the Merkle update argument.

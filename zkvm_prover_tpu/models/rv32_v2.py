@@ -23,7 +23,9 @@ chain acyclic, so the logUp balance proves one connected execution path even
 though rows are distributed across seven CPU chips.
 
 Register/RAM consistency is offline memory checking over REG_BUS / MEM_BUS
-with 16-bit range-checked timestamp diffs (segment cap ~2^16/TS_STRIDE
+with 24-bit range-checked timestamp diffs — low 16 bits through the
+Range16TableAir table, high byte through the byte table (segment cap
+~2^24/TS_STRIDE
 cycles). Comparisons use a borrow-chain less-than with the sign-flip trick
 (x <s y  <=>  x^0x80000000 <u y^0x80000000) so one chain serves signed and
 unsigned. All constraints are degree <= 3 (air.MAX_DEGREE).
@@ -63,6 +65,7 @@ MOD_REQ_BUS = 46      # SystemAir modop syscall -> ModularVmAir handoff
 EC_REQ_BUS = 47       # SystemAir ec_add syscall -> EcVmAir handoff
 SHA_REQ_BUS = 48      # SystemAir sha256 syscall -> Sha256VmAir handoff
 EC_DBL_REQ_BUS = 50   # SystemAir ec_double syscall -> EcDoubleVmAir handoff
+RANGE16_BUS = 51      # 16-bit range table (ts-diff low halves)
 
 N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
 #                 = 32 bytes, crates/types/base/src/aggregation.rs)
@@ -236,9 +239,10 @@ def emit_common(b: AirBuilder, kinds, flags, *, rs1_mult, rs2_mult, rd_mult,
                        mult)
         b.push_send(REG_BUS, [b.local(idx_c), cur_ts] + vals, mult)
         diff = b.sub(b.sub(cur_ts, b.local(prev_c)), one)
-        recon = b.add(b.local(DIFF + dk), b.mul(c256, b.local(DIFF + dk + 1)))
+        recon = b.add(b.local(DIFF + dk),
+                      b.mul(b.constant(1 << 16), b.local(DIFF + dk + 1)))
         b.assert_zero(b.mul(mult, b.sub(diff, recon)))
-        b.push_send(BYTE_BUS, [b.local(DIFF + dk)], mult)
+        b.push_send(RANGE16_BUS, [b.local(DIFF + dk)], mult)
         b.push_send(BYTE_BUS, [b.local(DIFF + dk + 1)], mult)
 
     if rd_mult is not None and check_rd_bytes:
@@ -683,9 +687,9 @@ class LoadStoreAir(Air):
         b.push_send(MEM_BUS, [waddr_f, cur_ts] + wn, real)
         mdiff = b.sub(b.sub(cur_ts, mts), one)
         recon = b.add(b.local(C.MDIFF),
-                      b.mul(c256, b.local(C.MDIFF + 1)))
+                      b.mul(b.constant(1 << 16), b.local(C.MDIFF + 1)))
         b.assert_zero(b.mul(real, b.sub(mdiff, recon)))
-        b.push_send(BYTE_BUS, [b.local(C.MDIFF)], real)
+        b.push_send(RANGE16_BUS, [b.local(C.MDIFF)], real)
         b.push_send(BYTE_BUS, [b.local(C.MDIFF + 1)], real)
 
 
@@ -1157,9 +1161,9 @@ class SystemAir(Air):
                         mult)
             diff = b.sub(b.sub(cur_ts, b.local(prev_ts_col)), one)
             recon = b.add(b.local(d_col),
-                          b.mul(c256, b.local(d_col + 1)))
+                          b.mul(b.constant(1 << 16), b.local(d_col + 1)))
             b.assert_zero(b.mul(mult, b.sub(diff, recon)))
-            b.push_send(BYTE_BUS, [b.local(d_col)], mult)
+            b.push_send(RANGE16_BUS, [b.local(d_col)], mult)
             b.push_send(BYTE_BUS, [b.local(d_col + 1)], mult)
 
         # a7 (x17) read at ts: value is the syscall id (0..7 by flag)
@@ -1407,6 +1411,30 @@ class XorTableAir(Air):
         return np.stack([x, y, x ^ y], axis=1)
 
 
+class Range16TableAir(Air):
+    """2^16-row range table (preprocessed counter; main = mult).
+
+    Serves the LOW 16 bits of every offline-memory-checking timestamp
+    diff; the high byte goes through the byte table, so diffs span 24
+    bits and a memory location only needs to be re-accessed within 2^24
+    timestamps (segment cap ~2^24/TS_STRIDE cycles — the openvm
+    range-checker-chip analog, vs the earlier 2-byte/16-bit diffs that
+    capped segments at ~13k cycles)."""
+
+    P_V = 0
+    preprocessed_width = 1
+    MULT = 0
+    width = 1
+    num_public_values = 0
+
+    def eval(self, b: AirBuilder) -> None:
+        b.push_receive(RANGE16_BUS, [b.preprocessed(Range16TableAir.P_V)],
+                       b.local(Range16TableAir.MULT))
+
+    def preprocessed_trace(self) -> np.ndarray:
+        return np.arange(1 << 16, dtype=np.uint32).reshape(-1, 1)
+
+
 # ---------------------------------------------------------------------------
 # Trace generation (host-side by design; SURVEY.md §2.2)
 # ---------------------------------------------------------------------------
@@ -1434,6 +1462,7 @@ class _TraceState:
         self.last_val = np.zeros(32, dtype=np.int64)
         self.ram: Dict[int, Tuple[int, int]] = {}
         self.byte_counts = np.zeros(256, dtype=np.int64)
+        self.r16_counts = np.zeros(1 << 16, dtype=np.int64)
         self.xor_counts: Dict[Tuple[int, int], int] = {}
         self.data_base = data_base
         self.fin_pc = 0
@@ -1445,6 +1474,11 @@ class _TraceState:
     def bcheck(self, v: int) -> int:
         assert 0 <= v < 256, f"byte out of range: {v}"
         self.byte_counts[v] += 1
+        return v
+
+    def r16check(self, v: int) -> int:
+        assert 0 <= v < (1 << 16), f"u16 out of range: {v}"
+        self.r16_counts[v] += 1
         return v
 
     def xcheck(self, x: int, y: int) -> int:
@@ -1478,8 +1512,8 @@ def _fill_common(row, st: _TraceState, kind, kinds, pc, ts, rs1, rs2, rd,
         else:
             assert st.last_val[idx] == val, "executor/trace divergence"
         d = cur_ts - st.last_ts[idx] - 1
-        row[DIFF + dk] = st.bcheck(d & 0xFF)
-        row[DIFF + dk + 1] = st.bcheck(d >> 8)
+        row[DIFF + dk] = st.r16check(d & 0xFFFF)
+        row[DIFF + dk + 1] = st.bcheck(d >> 16)
         st.last_ts[idx] = cur_ts
         if is_write:
             st.last_val[idx] = val
@@ -1679,8 +1713,8 @@ def _fill_loadstore(row, st, kind, ts, rs1_v, rs2_v, rd_v, imm, mem_addr):
         row[C.W_NEW + k] = v
     row[C.MEM_PREV_TS] = prev_ts
     d = ts + 3 - prev_ts - 1
-    row[C.MDIFF] = st.bcheck(d & 0xFF)
-    row[C.MDIFF + 1] = st.bcheck(d >> 8)
+    row[C.MDIFF] = st.r16check(d & 0xFFFF)
+    row[C.MDIFF + 1] = st.bcheck(d >> 16)
     st.ram[waddr] = (ts + 3, w_new)
 
 
@@ -1882,8 +1916,8 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
     def port(idx, prev_ts_col, cur_ts, d_col, new_val=None):
         row[prev_ts_col] = st.last_ts[idx]
         d = cur_ts - int(st.last_ts[idx]) - 1
-        row[d_col] = st.bcheck(d & 0xFF)
-        row[d_col + 1] = st.bcheck(d >> 8)
+        row[d_col] = st.r16check(d & 0xFFFF)
+        row[d_col + 1] = st.bcheck(d >> 16)
         st.last_ts[idx] = cur_ts
         if new_val is not None:
             st.last_val[idx] = new_val
@@ -2233,6 +2267,10 @@ def finish_tables(out, st: _TraceState):
     for (x, y), c in st.xor_counts.items():
         xt[x * 256 + y, XorTableAir.MULT] = c % bb.P
     out.append((xor_air, xt, []))
+
+    r16 = np.zeros((1 << 16, Range16TableAir.width), dtype=np.uint32)
+    r16[:, Range16TableAir.MULT] = (st.r16_counts % bb.P).astype(np.uint32)
+    out.append((Range16TableAir(), r16, []))
 
     return out
 

@@ -44,6 +44,7 @@ from .rv32_v2 import (
     EXEC_BUS,
     MEM_BUS,
     MOD_REQ_BUS,
+    RANGE16_BUS,
     TS_STRIDE,
 )
 
@@ -141,9 +142,10 @@ class ModularVmAir(Air):
             b.push_send(MEM_BUS, [addr, cur_ts] + new_vals, mult)
             diff = b.sub(b.sub(cur_ts, prev_ts), one)
             recon = b.add(b.local(base_col + 1),
-                          b.mul(c256, b.local(base_col + 2)))
+                          b.mul(b.constant(1 << 16),
+                                b.local(base_col + 2)))
             b.assert_zero(b.mul(mult, b.sub(diff, recon)))
-            b.push_send(BYTE_BUS, [b.local(base_col + 1)], mult)
+            b.push_send(RANGE16_BUS, [b.local(base_col + 1)], mult)
             b.push_send(BYTE_BUS, [b.local(base_col + 2)], mult)
 
         x_limbs, y_limbs = [], []
@@ -246,8 +248,8 @@ def fill_modop_row(st, pc: int, ts: int, rd_ptr: int, x_ptr: int,
         prev_ts, val = ent if ent is not None else (0, 0)
         row[base] = prev_ts
         d = cur_ts - prev_ts - 1
-        row[base + 1] = st.bcheck(d & 0xFF)
-        row[base + 2] = st.bcheck(d >> 8)
+        row[base + 1] = st.r16check(d & 0xFFFF)
+        row[base + 2] = st.bcheck(d >> 16)
         for k in range(4):
             row[base + 3 + k] = (val >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, val)
@@ -279,8 +281,8 @@ def fill_modop_row(st, pc: int, ts: int, rd_ptr: int, x_ptr: int,
         prev_ts, old = ent if ent is not None else (0, 0)
         row[base] = prev_ts
         d = cur_ts - prev_ts - 1
-        row[base + 1] = st.bcheck(d & 0xFF)
-        row[base + 2] = st.bcheck(d >> 8)
+        row[base + 1] = st.r16check(d & 0xFFFF)
+        row[base + 2] = st.bcheck(d >> 16)
         for k in range(4):
             row[base + 3 + k] = (old >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, (r >> (32 * w)) & 0xFFFFFFFF)
@@ -356,9 +358,10 @@ class EcVmAir(Air):
             b.push_send(MEM_BUS, [addr, cur_ts] + new_vals, mult)
             diff = b.sub(b.sub(cur_ts, prev_ts), one)
             recon = b.add(b.local(base_col + 1),
-                          b.mul(c256, b.local(base_col + 2)))
+                          b.mul(b.constant(1 << 16),
+                                b.local(base_col + 2)))
             b.assert_zero(b.mul(mult, b.sub(diff, recon)))
-            b.push_send(BYTE_BUS, [b.local(base_col + 1)], mult)
+            b.push_send(RANGE16_BUS, [b.local(base_col + 1)], mult)
             b.push_send(BYTE_BUS, [b.local(base_col + 2)], mult)
 
         p_limbs, q_limbs = [], []
@@ -438,8 +441,8 @@ def fill_ec_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
         prev_ts, val = ent if ent is not None else (0, 0)
         row[base] = prev_ts
         d = cur_ts - prev_ts - 1
-        row[base + 1] = st.bcheck(d & 0xFF)
-        row[base + 2] = st.bcheck(d >> 8)
+        row[base + 1] = st.r16check(d & 0xFFFF)
+        row[base + 2] = st.bcheck(d >> 16)
         for k in range(4):
             row[base + 3 + k] = (val >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, val)
@@ -469,8 +472,8 @@ def fill_ec_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
         prev_ts, old = ent if ent is not None else (0, 0)
         row[base] = prev_ts
         d = cur_ts - prev_ts - 1
-        row[base + 1] = st.bcheck(d & 0xFF)
-        row[base + 2] = st.bcheck(d >> 8)
+        row[base + 1] = st.r16check(d & 0xFFFF)
+        row[base + 2] = st.bcheck(d >> 16)
         for k in range(4):
             row[base + 3 + k] = (old >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, (res >> (32 * w)) & 0xFFFFFFFF)
@@ -552,9 +555,10 @@ class EcDoubleVmAir(Air):
             b.push_send(MEM_BUS, [addr, cur_ts] + new_vals, mult)
             diff = b.sub(b.sub(cur_ts, prev_ts), one)
             recon = b.add(b.local(base_col + 1),
-                          b.mul(c256, b.local(base_col + 2)))
+                          b.mul(b.constant(1 << 16),
+                                b.local(base_col + 2)))
             b.assert_zero(b.mul(mult, b.sub(diff, recon)))
-            b.push_send(BYTE_BUS, [b.local(base_col + 1)], mult)
+            b.push_send(RANGE16_BUS, [b.local(base_col + 1)], mult)
             b.push_send(BYTE_BUS, [b.local(base_col + 2)], mult)
 
         p_limbs = []
@@ -625,8 +629,8 @@ def fill_ec_double_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
         prev_ts, val = ent if ent is not None else (0, 0)
         row[base] = prev_ts
         d = cur_ts - prev_ts - 1
-        row[base + 1] = st.bcheck(d & 0xFF)
-        row[base + 2] = st.bcheck(d >> 8)
+        row[base + 1] = st.r16check(d & 0xFFFF)
+        row[base + 2] = st.bcheck(d >> 16)
         for k in range(4):
             row[base + 3 + k] = (val >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, val)
@@ -652,8 +656,8 @@ def fill_ec_double_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
         prev_ts, old = ent if ent is not None else (0, 0)
         row[base] = prev_ts
         d = cur_ts - prev_ts - 1
-        row[base + 1] = st.bcheck(d & 0xFF)
-        row[base + 2] = st.bcheck(d >> 8)
+        row[base + 1] = st.r16check(d & 0xFFFF)
+        row[base + 2] = st.bcheck(d >> 16)
         for k in range(4):
             row[base + 3 + k] = (old >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, (res >> (32 * w)) & 0xFFFFFFFF)
