@@ -583,6 +583,9 @@ bool step(Machine &m) {
         // (op: 0 mul, 1 add, 2 sub) — proven by ModularVmAir+BigIntModMulAir
         uint32_t rd_ptr = a0, xp = m.regs[11], yp = m.regs[12];
         uint32_t sel = m.regs[13];
+        // trap on out-of-range selectors (modulus idx 0..5, op 0..2):
+        // silently wrapping would diverge from fill_modop_row's asserts
+        if ((sel & 15) >= 6 || (sel >> 4) > 2) { m.state = 3; return false; }
         U256 x, y;
         m.touch(xp, 32); m.touch(yp, 32);
         for (int i = 0; i < 8; i++) x.w[i] = m.load32(xp + 4 * i);
@@ -600,6 +603,7 @@ bool step(Machine &m) {
         // x1 == x2, matching the AIR's distinct-x-only soundness domain)
         uint32_t rd_ptr = a0, pp = m.regs[11], qp = m.regs[12];
         uint32_t sel = m.regs[13];
+        if ((sel & 15) >= 6) { m.state = 3; return false; }
         U256 x1, y1, x2, y2;
         m.touch(pp, 64); m.touch(qp, 64);
         for (int i = 0; i < 8; i++) x1.w[i] = m.load32(pp + 4 * i);
@@ -623,6 +627,7 @@ bool step(Machine &m) {
         // proven by EcDoubleVmAir+EcDoubleAir; traps on y == 0
         uint32_t rd_ptr = a0, pp = m.regs[11];
         uint32_t sel = m.regs[13];
+        if ((sel & 15) >= 6) { m.state = 3; return false; }
         if ((sel & 15) == 4) { m.state = 3; return false; } // P-256: a != 0
         U256 x1, y1;
         m.touch(pp, 64);

@@ -197,6 +197,55 @@ def test_sha256_forged_digest_breaks():
     assert broken
 
 
+def test_sha256_block_aligned_forgery_breaks():
+    """Round-4 advisor forgery: for a block-aligned message, moving
+    has_end onto the last FULL block (rem = 64 also satisfies the length
+    binding) skips the 0x80 terminator. The rem <= 63 pin (has_end *
+    p[63] = 0) must reject it."""
+    _, traces = _run(_sha_guest(b"\x11" * 64))
+    si = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, sha256_vm.Sha256VmAir))
+    air, tr, _ = traces[si]
+    bad = tr.copy()
+    # honest: block 0 full message (rem=64), block 1 has_end+last (rem=0)
+    assert bad[1, sha256_vm.HAS_END] == 1 and bad[0, sha256_vm.HAS_END] == 0
+    bad[0, sha256_vm.HAS_END] = 1
+    bad[1, sha256_vm.HAS_END] = 0
+    # the attacker drops the terminator from the length-only block to
+    # keep the absorption constraints locally consistent
+    bad[1, sha256_vm.ABS] = 0
+    assert debug.check_constraints(air, bad, []) != []
+
+
+def test_modop_noncanonical_result_breaks():
+    """Round-4 advisor forgery: modadd with q=0 writes r = x + y >= m
+    (a non-canonical representative) to RAM; the in-chip r < m borrow
+    chain must reject it even with the attacker's best chain witness."""
+    m = SUPPORTED_MODULI[0]
+    x, y = m - 5, m - 3
+    body = _store256(x, BASE) + _store256(y, BASE + 32)
+    body += asm.modop(BASE + 64, BASE, BASE + 32, asm.MODOP_ADD, 0)
+    body += asm.halt(0)
+    _, traces = _run(asm.assemble(body))
+    mi = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, vm_ext.ModularVmAir))
+    air, tr, _ = traces[mi]
+    bad = tr.copy()
+    forged = x + y  # = honest r + m, still a 32-limb value
+    c = 1
+    for k in range(vm_ext.N_LIMBS):
+        bad[0, vm_ext.RES + k] = (forged >> (8 * k)) & 0xFF
+        # greedy borrow-chain witness for d = m - 1 - forged (mod 2^256)
+        t = ((m >> (8 * k)) & 0xFF) - int(bad[0, vm_ext.RES + k]) - c
+        c = 1 if t < 0 else 0
+        bad[0, vm_ext.CMP_D + k] = t + 256 if t < 0 else t
+        if k < vm_ext.N_LIMBS - 1:
+            bad[0, vm_ext.CMP_BW + k] = c
+    # forged >= m needs a final borrow the chain cannot emit
+    assert c == 1
+    assert debug.check_constraints(air, bad, []) != []
+
+
 def test_sha256_skipped_terminator_breaks():
     """Clearing HAS_END (no 0x80 binding) must violate constraints."""
     _, traces = _run(_sha_guest(b"no terminator"))

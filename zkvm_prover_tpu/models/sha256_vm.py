@@ -157,6 +157,11 @@ class Sha256VmAir(Air):
                          rem))))
         #   length-only block (last, no end): no message bytes
         b.assert_zero(b.mul(b.mul(last, b.sub(one, has_end)), p[0]))
+        #   the has_end block carries at most 63 message bytes (rem <= 63):
+        #   without this, a block-aligned message admits a forged trace
+        #   with has_end on the last FULL block (rem = 64 satisfies the
+        #   length binding too) where no byte gets the 0x80 terminator
+        b.assert_zero(b.mul(has_end, p[63]))
         #   has_end & last  <=> rem <= 55  <=> p_55 = 0
         b.assert_zero(b.mul(b.mul(has_end, last), p[55]))
         b.assert_zero(b.mul(b.mul(has_end, b.sub(one, last)),
@@ -317,6 +322,10 @@ def fill_sha256_rows(st, pc: int, ts: int, ptr: int, length: int,
         if q == end_block:
             row[HAS_END] = 1
         rem = min(max(length - BLOCK * q, 0), BLOCK)
+        if q == end_block:
+            # the in-constraint uniqueness of (idx, rem) relies on the
+            # end block holding <= 63 message bytes (p[63] = 0 there)
+            assert rem <= BLOCK - 1, "has_end block must leave pad room"
         for j in range(rem):
             row[P_FLAGS + j] = 1
 

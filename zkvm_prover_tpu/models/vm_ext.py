@@ -27,6 +27,11 @@ a*b + c == q*m + r needs q < 2^256, which non-canonical 256-bit operands
 can violate for the ~2^254 moduli; the native executor reduces fully
 either way (native/vm/rv32im.cpp a7=4/5), matching openvm's documented
 canonical-input contract.
+
+Result canonicity IS enforced in-chip: every limb vector written back to
+guest RAM carries a byte borrow chain proving r < m (_canonicity_chain
+— the openvm comparison-chip analog), so the congruence fixed by the
+delegated arithmetic plus the range pin make the RAM result unique.
 """
 
 from __future__ import annotations
@@ -65,6 +70,48 @@ def _limbs(x: int) -> List[int]:
     return [(x >> (8 * i)) & 0xFF for i in range(N_LIMBS)]
 
 
+def _canonicity_chain(b: AirBuilder, real, r_limbs, m_limbs, d_base: int,
+                      bw_base: int) -> None:
+    """Constrain r < m in-chip via a byte borrow chain.
+
+    Witnesses d = m - 1 - r limb-wise: for each 8-bit limb k,
+        m_k - r_k - c_k + 256*c_{k+1} - d_k = 0,   c_0 = 1,  c_32 = 0,
+    with d_k byte-range-checked and borrow bits c boolean. A zero final
+    borrow proves m - 1 - r >= 0, i.e. r < m. The openvm analog is the
+    modular extension's dedicated IsLessThan comparison; without this,
+    BigIntModMulAir's a*b + c == q*m + r identity admits any
+    representative r + t*m, letting a malicious prover write a
+    non-canonical result to guest RAM (advisor round-4 high finding)."""
+    one = b.constant(1)
+    c_in = one
+    for k in range(N_LIMBS):
+        d_k = b.local(d_base + k)
+        b.push_send(BYTE_BUS, [d_k], real)
+        t = b.sub(b.sub(m_limbs[k], r_limbs[k]), c_in)
+        if k < N_LIMBS - 1:
+            bw = b.local(bw_base + k)
+            b.assert_bool(bw)
+            t = b.add(t, b.mul(b.constant(256), bw))
+            c_in = bw
+        b.assert_zero(b.mul(real, b.sub(t, d_k)))
+
+
+def _fill_canonicity(st, row: np.ndarray, r_int: int, m: int, d_base: int,
+                     bw_base: int) -> None:
+    """Witness the r < m borrow chain for one canonical result."""
+    assert 0 <= r_int < m, "result must be canonical"
+    c = 1
+    for k in range(N_LIMBS):
+        t = ((m >> (8 * k)) & 0xFF) - ((r_int >> (8 * k)) & 0xFF) - c
+        if t < 0:
+            assert k < N_LIMBS - 1
+            c, t = 1, t + 256
+            row[bw_base + k] = 1
+        else:
+            c = 0
+        row[d_base + k] = st.bcheck(t)
+
+
 # --- ModularVmAir ----------------------------------------------------------
 # column layout
 IS_REAL = 0
@@ -81,7 +128,9 @@ XRD = Y_Q + 1               # 8 x [prev_ts, d0, d1, v0..v3] stride 7
 YRD = XRD + 7 * N_WORDS
 WRP = YRD + 7 * N_WORDS     # 8 x [prev_ts, d0, d1, old0..old3]
 RES = WRP + 7 * N_WORDS     # 32 result limbs
-MOD_NUM_COLS = RES + N_LIMBS
+CMP_D = RES + N_LIMBS       # 32 limbs of m - 1 - r (canonicity r < m)
+CMP_BW = CMP_D + N_LIMBS    # 31 borrow bits
+MOD_NUM_COLS = CMP_BW + (N_LIMBS - 1)
 
 
 class ModularVmAir(Air):
@@ -204,6 +253,10 @@ class ModularVmAir(Air):
         b.push_send(MODMUL_BUS, slot_a + slot_b + slot_c + slot_r + m_limbs,
                     real)
 
+        # the RAM-written result is canonical (r < m): the bigint identity
+        # alone only fixes r mod m
+        _canonicity_chain(b, real, r_limbs, m_limbs, CMP_D, CMP_BW)
+
         # execution continuation: the instruction completes here
         b.push_send(
             EXEC_BUS,
@@ -272,6 +325,7 @@ def fill_modop_row(st, pc: int, ts: int, rd_ptr: int, x_ptr: int,
         r = (x - y) % m
         bigint_op = (1, y, r, m)
     row[RES : RES + N_LIMBS] = _limbs(r)
+    _fill_canonicity(st, row, r, m, CMP_D, CMP_BW)
 
     for w in range(N_WORDS):
         base = WRP + 7 * w
@@ -303,7 +357,9 @@ E_PRD = E_Q_Q + 1               # 16 x [prev_ts, d0, d1, v0..v3] (x1||y1)
 E_QRD = E_PRD + 7 * 2 * N_WORDS
 E_WRP = E_QRD + 7 * 2 * N_WORDS
 E_RES = E_WRP + 7 * 2 * N_WORDS  # 64 result limbs (x3||y3)
-EC_NUM_COLS = E_RES + 2 * N_LIMBS
+E_CMP_D = E_RES + 2 * N_LIMBS    # 2 x 32 limbs m-1-x3, m-1-y3
+E_CMP_BW = E_CMP_D + 2 * N_LIMBS  # 2 x 31 borrow bits
+EC_NUM_COLS = E_CMP_BW + 2 * (N_LIMBS - 1)
 
 
 class EcVmAir(Air):
@@ -401,6 +457,13 @@ class EcVmAir(Air):
         msg = (p_limbs + q_limbs + r_limbs + m_limbs)
         b.push_send(EC_ADD_BUS, msg, real)
 
+        # the RAM-written coordinates are canonical (x3, y3 < m): the
+        # chord-law congruences alone only fix them mod m
+        _canonicity_chain(b, real, r_limbs[:N_LIMBS], m_limbs,
+                          E_CMP_D, E_CMP_BW)
+        _canonicity_chain(b, real, r_limbs[N_LIMBS:], m_limbs,
+                          E_CMP_D + N_LIMBS, E_CMP_BW + (N_LIMBS - 1))
+
         b.push_send(
             EXEC_BUS,
             [b.add(pc, b.constant(4)),
@@ -463,6 +526,9 @@ def fill_ec_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
     res = x3 | (y3 << 256)
     for k in range(2 * N_LIMBS):
         row[E_RES + k] = (res >> (8 * k)) & 0xFF
+    _fill_canonicity(st, row, x3, m, E_CMP_D, E_CMP_BW)
+    _fill_canonicity(st, row, y3, m, E_CMP_D + N_LIMBS,
+                     E_CMP_BW + (N_LIMBS - 1))
 
     for w in range(2 * N_WORDS):
         base = E_WRP + 7 * w
@@ -495,7 +561,9 @@ D_RD_Q, D_P_Q = D_SEL + 1, D_SEL + 2
 D_PRD = D_P_Q + 1               # 16 x [prev_ts, d0, d1, v0..v3] (x1||y1)
 D_WRP = D_PRD + 7 * 2 * N_WORDS
 D_RES = D_WRP + 7 * 2 * N_WORDS  # 64 result limbs (x3||y3)
-DBL_NUM_COLS = D_RES + 2 * N_LIMBS
+D_CMP_D = D_RES + 2 * N_LIMBS    # 2 x 32 limbs m-1-x3, m-1-y3
+D_CMP_BW = D_CMP_D + 2 * N_LIMBS  # 2 x 31 borrow bits
+DBL_NUM_COLS = D_CMP_BW + 2 * (N_LIMBS - 1)
 DBL_TS_WINDOW = 40               # 16 reads + 16 writes + margin
 
 
@@ -590,6 +658,12 @@ class EcDoubleVmAir(Air):
         # (x1, y1, x3, y3, m) -> EcDoubleAir
         b.push_send(EC_DBL_BUS, p_limbs + r_limbs + m_limbs, real)
 
+        # the RAM-written coordinates are canonical (x3, y3 < m)
+        _canonicity_chain(b, real, r_limbs[:N_LIMBS], m_limbs,
+                          D_CMP_D, D_CMP_BW)
+        _canonicity_chain(b, real, r_limbs[N_LIMBS:], m_limbs,
+                          D_CMP_D + N_LIMBS, D_CMP_BW + (N_LIMBS - 1))
+
         b.push_send(
             EXEC_BUS,
             [b.add(pc, b.constant(4)),
@@ -647,6 +721,9 @@ def fill_ec_double_row(st, pc: int, ts: int, rd_ptr: int, p_ptr: int,
     res = x3 | (y3 << 256)
     for k in range(2 * N_LIMBS):
         row[D_RES + k] = (res >> (8 * k)) & 0xFF
+    _fill_canonicity(st, row, x3, m, D_CMP_D, D_CMP_BW)
+    _fill_canonicity(st, row, y3, m, D_CMP_D + N_LIMBS,
+                     D_CMP_BW + (N_LIMBS - 1))
 
     for w in range(2 * N_WORDS):
         base = D_WRP + 7 * w

@@ -109,6 +109,16 @@ class _ShardBuilder(LdeBuilder):
         self._constraints = []
         self._interactions = []
 
+    def preprocessed(self, col):  # pragma: no cover - guard
+        raise NotImplementedError(
+            "make_prover_core_sharded does not yet plumb a halo-extended "
+            "preprocessed LDE; AIRs with preprocessed columns (program "
+            "ROM, range tables) must use the single-device core"
+        )
+
+    def preprocessed_next(self, col):  # pragma: no cover - guard
+        self.preprocessed(col)
+
 
 def quotient_sharded(air: Air, trace_lde, sels, pvs_m, alpha, mesh: Mesh,
                      log_blowup: int, axis_name: str = "shard"):
