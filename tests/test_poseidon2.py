@@ -141,3 +141,58 @@ def test_golden_stability():
     )[0]
     np.testing.assert_array_equal(d, fresh)
     assert (d < P).all() and d.any()
+
+
+def test_native_kernel_bit_identity():
+    """The C++ batch kernel (ops/p2_native) must match the numpy
+    reference permutation exactly for both widths, plus the sponge and
+    compression entry points (round-5 host hashing hot path)."""
+    from zkvm_prover_tpu.ops import p2_native
+
+    if p2_native._load() is None:
+        import pytest
+
+        pytest.skip("native poseidon2 unavailable")
+    for width in (16, 24):
+        st = RNG.integers(0, P, size=(65, width), dtype=np.uint64).astype(
+            np.uint32
+        )
+        native = p2_native.permute(st)
+        np.testing.assert_array_equal(native, p2._permute_np_numpy(st))
+    mat = RNG.integers(0, P, size=(33, 21), dtype=np.uint64).astype(
+        np.uint32
+    )
+    ref_state = np.zeros((33, p2.WIDTH), dtype=np.uint32)
+    padded = np.concatenate(
+        [mat, np.zeros((33, 3), dtype=np.uint32)], axis=1
+    )
+    for b in range(3):
+        ref_state[:, : p2.RATE] = padded[:, b * p2.RATE : (b + 1) * p2.RATE]
+        ref_state = p2._permute_np_numpy(ref_state).astype(np.uint32)
+    np.testing.assert_array_equal(
+        p2_native.hash_rows(mat, p2.RATE, p2.DIGEST),
+        ref_state[:, : p2.DIGEST],
+    )
+    l = RNG.integers(0, P, size=(17, 8), dtype=np.uint64).astype(np.uint32)
+    r = RNG.integers(0, P, size=(17, 8), dtype=np.uint64).astype(np.uint32)
+    np.testing.assert_array_equal(
+        p2_native.compress(l, r, p2.DIGEST),
+        p2._permute_np_numpy(np.concatenate([l, r], axis=-1))[:, : p2.DIGEST],
+    )
+
+
+def test_mont_matmul_blas_path():
+    """_mont_matmul_np (float64 BLAS GEMM recombination) must equal the
+    per-element Montgomery dot."""
+    from zkvm_prover_tpu.stark.machine import _mont_matmul_np
+
+    a = RNG.integers(0, P, size=(50, 37), dtype=np.uint64).astype(np.uint32)
+    b = RNG.integers(0, P, size=(37, 4), dtype=np.uint64).astype(np.uint32)
+    ref = np.zeros((50, 4), np.uint32)
+    for j in range(4):
+        acc = None
+        for k in range(37):
+            t = bb.mul(a[:, k], b[k, j])
+            acc = t if acc is None else bb.add(acc, t)
+        ref[:, j] = acc
+    np.testing.assert_array_equal(_mont_matmul_np(a, b), ref)

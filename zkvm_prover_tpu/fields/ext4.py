@@ -79,6 +79,46 @@ def scale(a, s):
     return bb.mul(a, xp.asarray(s, dtype=xp.uint32)[..., None])
 
 
+_P64 = np.uint64(bb.P)
+_NP64 = np.uint64(bb.NP)
+_M32_64 = np.uint64(0xFFFFFFFF)
+_S32_64 = np.uint64(32)
+_W64 = np.uint64(int(W))
+
+
+def _redc64(t):
+    """Montgomery REDC of exact uint64 products t < p^2."""
+    m_ = ((t & _M32_64) * _NP64) & _M32_64
+    u = (t + m_ * _P64) >> _S32_64
+    return np.where(u >= _P64, u - _P64, u)
+
+
+def _mul_np(a, b):
+    """numpy outer-product variant (testing/reference only): measured
+    SLOWER than `mul` on the host path — the (..., 4, 4) strided
+    coefficient extraction dominates; kept for the bit-identity test."""
+    with np.errstate(over="ignore"):
+        a64 = np.asarray(a, np.uint64)
+        b64 = np.asarray(b, np.uint64)
+        p = _redc64(a64[..., :, None] * b64[..., None, :])  # (..., i, j)
+
+        def addm(x, y):
+            s = x + y
+            return np.where(s >= _P64, s - _P64, s)
+
+        w0 = _redc64(addm(addm(p[..., 1, 3], p[..., 2, 2]),
+                          p[..., 3, 1]) * _W64)
+        w1 = _redc64(addm(p[..., 2, 3], p[..., 3, 2]) * _W64)
+        w2 = _redc64(p[..., 3, 3] * _W64)
+        c0 = addm(p[..., 0, 0], w0)
+        c1 = addm(addm(p[..., 0, 1], p[..., 1, 0]), w1)
+        c2 = addm(addm(p[..., 0, 2], p[..., 1, 1]),
+                  addm(p[..., 2, 0], w2))
+        c3 = addm(addm(p[..., 0, 3], p[..., 1, 2]),
+                  addm(p[..., 2, 1], p[..., 3, 0]))
+        return np.stack([c0, c1, c2, c3], axis=-1).astype(np.uint32)
+
+
 def mul(a, b):
     """Extension product modulo x^4 - W. 16 base muls + 3 W-muls."""
     xp = bb._mod(a, b)

@@ -1,0 +1,143 @@
+"""ctypes wrapper for the native batch Poseidon2 kernel
+(native/poseidon2/poseidon2.cpp) — the host hashing hot path.
+
+Auto-builds the shared library (mirroring vm/executor.py) and installs
+the Python-side round-constant tables on first use per width, so the
+native permutation is bit-identical to ops/poseidon2.py::permute_np by
+construction (including any `load_constants` Plonky3-parity override —
+call `reset()` after installing overrides to re-sync).
+
+Disable with ZKVM_TPU_NO_NATIVE_P2=1 (falls back to the numpy path)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_SRC = _REPO_ROOT / "native" / "poseidon2" / "poseidon2.cpp"
+_SO = _REPO_ROOT / "native" / "poseidon2" / "libposeidon2.so"
+
+_U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+
+
+def build_native(force: bool = False) -> Path:
+    if _SO.exists() and not force:
+        if _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+            return _SO
+    tmp = _SO.with_suffix(f".tmp{os.getpid()}.so")
+    subprocess.run(
+        [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(tmp), "-lpthread",
+        ],
+        check=True,
+    )
+    os.replace(tmp, _SO)
+    return _SO
+
+
+_lib = None
+_inited: set = set()
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None:
+        if os.environ.get("ZKVM_TPU_NO_NATIVE_P2"):
+            return None
+        try:
+            lib = ctypes.CDLL(str(build_native()))
+        except (OSError, subprocess.CalledProcessError):  # pragma: no cover
+            return None
+        lib.p2_init.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, _U32P,
+            ctypes.c_uint32, _U32P, ctypes.c_uint32, _U32P,
+        ]
+        lib.p2_init.restype = ctypes.c_int
+        lib.p2_permute.argtypes = [ctypes.c_uint32, ctypes.c_uint64, _U32P]
+        lib.p2_permute.restype = ctypes.c_int
+        lib.p2_hash_rows.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.c_uint32, _U32P, _U32P,
+        ]
+        lib.p2_hash_rows.restype = ctypes.c_int
+        lib.p2_compress.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint32, _U32P, _U32P, _U32P,
+        ]
+        lib.p2_compress.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def reset() -> None:
+    """Force re-installation of constants (after load_constants)."""
+    _inited.clear()
+
+
+def _ensure_width(width: int) -> Optional[ctypes.CDLL]:
+    lib = _load()
+    if lib is None:
+        return None
+    if width not in _inited:
+        from ..fields import babybear as bb
+        from . import poseidon2 as p2
+
+        ext_rc, int_rc, diag = p2._get_constants(width)
+        ext_rc = np.ascontiguousarray(ext_rc, dtype=np.uint32)
+        int_rc = np.ascontiguousarray(int_rc, dtype=np.uint32)
+        diag = np.ascontiguousarray(diag, dtype=np.uint32)
+        rc = lib.p2_init(
+            np.uint32(bb.P), np.uint32(bb.NP), width, ext_rc,
+            ext_rc.shape[0], int_rc, int_rc.shape[0], diag,
+        )
+        if rc != 0:  # pragma: no cover
+            return None
+        _inited.add(width)
+    return lib
+
+
+def permute(state: np.ndarray) -> Optional[np.ndarray]:
+    """Batch permute (..., width); returns None if native unavailable."""
+    width = state.shape[-1]
+    lib = _ensure_width(width)
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(state, dtype=np.uint32).copy()
+    flat = out.reshape(-1, width)
+    lib.p2_permute(width, flat.shape[0], flat)
+    return out
+
+
+def hash_rows(matrix: np.ndarray, rate: int, digest: int
+              ) -> Optional[np.ndarray]:
+    lib = _ensure_width(16)
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(matrix, dtype=np.uint32)
+    s, c = mat.shape
+    out = np.empty((s, digest), dtype=np.uint32)
+    if lib.p2_hash_rows(s, c, rate, digest, mat, out) != 0:
+        return None  # pragma: no cover
+    return out
+
+
+def compress(left: np.ndarray, right: np.ndarray, digest: int
+             ) -> Optional[np.ndarray]:
+    lib = _ensure_width(16)
+    if lib is None:
+        return None
+    l = np.ascontiguousarray(left, dtype=np.uint32)
+    r = np.ascontiguousarray(right, dtype=np.uint32)
+    shape = l.shape
+    lf = l.reshape(-1, 8)
+    out = np.empty((lf.shape[0], digest), dtype=np.uint32)
+    if lib.p2_compress(lf.shape[0], digest, lf, r.reshape(-1, 8),
+                       out) != 0:
+        return None  # pragma: no cover
+    return out.reshape(shape[:-1] + (digest,))
