@@ -177,22 +177,22 @@ def bench_machine_proof(n_outer=2, n_inner=48):
     t0 = time.time()
     proof = machine.prove_machine(instances, cfg)
     prove_s = time.time() - t0
-    out = {
+    t0 = time.time()
+    ok = machine.verify_machine([a for a, _, _ in air_traces], proof, cfg)
+    verify_s = time.time() - t0
+    assert ok, "bench proof failed verification"
+    return {
         "guest_cycles": cycles,
         "execution_mhz": round(cycles / 1e6 / max(exec_s, 1e-9), 2),
         "tracegen_s": round(tracegen_s, 3),
         "proof_wall_s": round(prove_s, 3),
+        "verify_wall_s": round(verify_s, 3),
         "proving_khz": round(cycles / 1e3 / prove_s, 2),
         "fri_queries": cfg.fri.num_queries,
         "pow_bits": cfg.fri.proof_of_work_bits,
-        "backend": "host-numpy (see module docstring)",
+        "backend": "host numpy + native C++ poseidon2 "
+                   "(see module docstring)",
     }
-    # Verification is exercised by the test suite (incl. this machine
-    # shape); at 100 queries the host verifier walks every Merkle path in
-    # a Python loop (minutes) and would eat the whole bench budget, so
-    # the bench reports proving throughput only.
-    out["verify"] = "covered by test suite (not benched; see docstring)"
-    return out
 
 
 def bench_msm(n=1024):
@@ -281,10 +281,10 @@ def main():
          "print(json.dumps(bench.bench_msm()))", 90),
         ("machine_proof",
          _CPU_PREFIX + "import bench, json; "
-         "print(json.dumps(bench.bench_machine_proof()))", 330),
+         "print(json.dumps(bench.bench_machine_proof()))", 180),
         ("ntt_2e22",
          "import bench, json; "
-         "print(json.dumps(bench.bench_ntt_2e22()))", 120),
+         "print(json.dumps(bench.bench_ntt_2e22()))", 150),
     ]
     for name, code, cap in stages:
         budget = min(cap, _remaining() - 15)

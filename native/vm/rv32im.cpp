@@ -583,18 +583,26 @@ bool step(Machine &m) {
         // (op: 0 mul, 1 add, 2 sub) — proven by ModularVmAir+BigIntModMulAir
         uint32_t rd_ptr = a0, xp = m.regs[11], yp = m.regs[12];
         uint32_t sel = m.regs[13];
-        // trap on out-of-range selectors (modulus idx 0..5, op 0..2):
+        // trap on out-of-range selectors (modulus idx 0..5, op 0..3):
         // silently wrapping would diverge from fill_modop_row's asserts
-        if ((sel & 15) >= 6 || (sel >> 4) > 2) { m.state = 3; return false; }
+        if ((sel & 15) >= 6 || (sel >> 4) > 3) { m.state = 3; return false; }
         U256 x, y;
         m.touch(xp, 32); m.touch(yp, 32);
         for (int i = 0; i < 8; i++) x.w[i] = m.load32(xp + 4 * i);
         for (int i = 0; i < 8; i++) y.w[i] = m.load32(yp + 4 * i);
         U256 mod = modulus_by_index(sel & 15);
         uint32_t op = sel >> 4;
-        U256 r = op == 0   ? u256_modmul(x, y, mod)
-                 : op == 1 ? u256_modadd(x, y, mod)
-                           : u256_modsub(x, y, mod);
+        U256 r;
+        if (op == 3) { // MODDIV: trap on y == 0 (mod m)
+          U256 one{}; one.w[0] = 1;
+          U256 yr = u256_modmul(y, one, mod); // full reduction
+          if (u256_is_zero(yr)) { m.state = 3; return false; }
+          r = u256_modmul(x, u256_modinv(yr, mod), mod);
+        } else {
+          r = op == 0   ? u256_modmul(x, y, mod)
+              : op == 1 ? u256_modadd(x, y, mod)
+                        : u256_modsub(x, y, mod);
+        }
         m.touch(rd_ptr, 32);
         for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, r.w[i]);
       } else if (a7 == 5) { // EC_ADD: mem[a0..+64) = P + Q (affine, x1!=x2)
@@ -622,6 +630,12 @@ bool step(Machine &m) {
         m.touch(rd_ptr, 64);
         for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, x3.w[i]);
         for (int i = 0; i < 8; i++) m.store32(rd_ptr + 32 + 4 * i, y3.w[i]);
+      } else if (a7 == 8) { // DEFER: bind mem[a0..+64) (vk dig || pi dig)
+        // to the deferral accumulator — no output; DeferralVmAir proves
+        // the sponge absorption (deferred child verification is
+        // discharged by a separate aggregation proof, host/prover.py)
+        m.touch(a0, 64);
+        for (int i = 0; i < 16; i++) (void)m.load32(a0 + 4 * i);
       } else if (a7 == 7) { // EC_DOUBLE: mem[a0..+64) = 2*P (a=0 tangent)
         // a1 = P ptr (x||y), a3 = base-field modulus idx (not P-256) —
         // proven by EcDoubleVmAir+EcDoubleAir; traps on y == 0

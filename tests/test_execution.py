@@ -362,3 +362,86 @@ def test_chunk_info_from_real_execution(sealed):
     assert info.block_ctxs[0].num_txs == 3
     assert info.block_ctxs[0].num_l1_msgs == 1
     assert info.post_blockhash == witness.header.block_hash()
+
+
+def test_eip2929_consensus_gas():
+    """EIP-2929 warm/cold + EIP-2200/3529 SSTORE costs: exact consensus
+    values for canonical sequences (go-ethereum reference costs)."""
+    state = WorldState(mpt.EMPTY_ROOT, {}, {})
+    block = BlockCtx()
+
+    def run(code, storage=None, gas=1_000_000):
+        h = keccak256(code)
+        state.codes[h] = code
+        addr = b"\xAA" * 20
+        if addr not in state.accounts:
+            state.create_account(addr)
+        state.accounts[addr].code_hash = h
+        if storage:
+            for k, v in storage.items():
+                state.set_storage(addr, k, v)
+        txctx = TxCtx(origin=ALICE)
+        txctx.warm_addresses.update({ALICE, addr})
+        res = execute_message(
+            state, block, txctx,
+            Message(caller=ALICE, to=addr, value=0, data=b"", gas=gas))
+        assert res.success, code.hex()
+        return gas - res.gas_left, res.gas_refund
+
+    # cold SLOAD then warm SLOAD of the same slot:
+    # PUSH1 0 (3) SLOAD (2100 cold) POP (2) PUSH1 0 (3) SLOAD (100 warm)
+    # POP (2) STOP
+    used, _ = run(bytes.fromhex("60005450600054500000"))
+    assert used == 3 + 2100 + 2 + 3 + 100 + 2, used
+
+    # SSTORE 0 -> 1 on a cold zero slot: 2100 + 20000 (+ 2x PUSH1)
+    used, refund = run(bytes.fromhex("600160005500"))
+    assert used == 3 + 3 + 22100, used
+    assert refund == 0
+
+    # SSTORE 1 -> 0 (original 1): cold 2100 + reset 2900, refund 4800
+    state2 = WorldState(mpt.EMPTY_ROOT, {}, {})
+    state = state2
+    used, refund = run(bytes.fromhex("600060005500"), storage={0: 1})
+    assert used == 3 + 3 + 2100 + 2900, used
+    assert refund == 4800
+
+    # no-op SSTORE (1 -> 1): cold 2100 + warm 100
+    state = WorldState(mpt.EMPTY_ROOT, {}, {})
+    used, refund = run(bytes.fromhex("600160005500"), storage={0: 1})
+    assert used == 3 + 3 + 2100 + 100, used
+
+    # BALANCE cold then warm: PUSH20 addr BALANCE POP x2
+    state = WorldState(mpt.EMPTY_ROOT, {}, {})
+    tgt = bytes.fromhex("73") + BOB + bytes.fromhex("3150")
+    used, _ = run(tgt + tgt + b"\x00")
+    assert used == 3 + 2600 + 2 + 3 + 100 + 2, used
+
+
+def test_eip2929_revert_unwinds_warmth():
+    """A reverted scope's access-set additions must be undone: the same
+    SLOAD is cold again after the inner frame reverts."""
+    state = WorldState(mpt.EMPTY_ROOT, {}, {})
+    block = BlockCtx()
+    # inner: SLOAD(0); REVERT(0,0)
+    inner = bytes.fromhex("600054506000" + "6000fd")
+    ih = keccak256(inner)
+    state.codes[ih] = inner
+    iaddr = b"\xE1" * 20
+    state.create_account(iaddr)
+    state.accounts[iaddr].code_hash = ih
+    txctx = TxCtx(origin=ALICE)
+    res = execute_message(
+        state, block, txctx,
+        Message(caller=ALICE, to=iaddr, value=0, data=b"", gas=100000))
+    assert not res.success
+    assert (iaddr, 0) not in txctx.warm_slots
+    assert iaddr not in txctx.warm_addresses  # target warmed by caller...
+
+def test_value_transfer_intrinsic_is_21000():
+    """A plain value transfer costs exactly the 21000 intrinsic."""
+    tx = blk.Tx(tx_type=0, nonce=0, gas_limit=21000, gas_price=1,
+                to=BOB, value=1, data=b"")
+    assert blk._intrinsic_gas(tx) == 21000
+    tx.data = b"\x00\x01"  # 4 (zero byte) + 16 (nonzero byte)
+    assert blk._intrinsic_gas(tx) == 21020

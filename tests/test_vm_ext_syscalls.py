@@ -81,6 +81,34 @@ def test_modop_all_moduli(mi):
     _check_all(traces)
 
 
+@pytest.mark.parametrize("mi", [0, 2, 5])
+def test_moddiv(mi):
+    """OP_DIV (openvm ModularDiv parity): r = x/y with the in-chip
+    y*yinv == 1 invertibility request."""
+    m = SUPPORTED_MODULI[mi]
+    x = (0xDEADBEEFCAFE1234 * (mi + 2) ** 11 + 7) % m
+    y = (0x123456789ABCDEF * (mi + 5) ** 13 + 3) % m
+    body = _store256(x, BASE) + _store256(y, BASE + 32)
+    body += asm.modop(BASE + 64, BASE, BASE + 32, asm.MODOP_DIV, mi)
+    body += _reveal_word(BASE + 64, 0)
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    expect = x * pow(y, -1, m) % m
+    assert ex.public_values()[0] == expect & 0xFFFFFFFF
+    _check_all(traces)
+
+
+def test_moddiv_by_zero_traps():
+    body = _store256(5, BASE) + _store256(0, BASE + 32)
+    body += asm.modop(BASE + 64, BASE, BASE + 32, asm.MODOP_DIV, 0)
+    body += asm.halt(0)
+    ex = Rv32Executor()
+    ex.load_program(asm.assemble(body))
+    from zkvm_prover_tpu.vm.executor import TRAPPED
+
+    assert ex.run(1 << 15) == TRAPPED
+
+
 def test_modop_forged_result_breaks():
     m = SUPPORTED_MODULI[0]
     body = _store256(123456789, BASE) + _store256(987654321, BASE + 32)

@@ -319,6 +319,14 @@ def execute_tx(state: WorldState, block: BlockCtx, tx: Tx,
     state.inc_nonce(sender)
 
     txctx = TxCtx(origin=sender, gas_price=gas_price)
+    # EIP-2929 tx prewarming: origin, target, precompiles; coinbase per
+    # EIP-3651 (Shanghai)
+    txctx.warm_addresses.add(sender)
+    if tx.to is not None:
+        txctx.warm_addresses.add(tx.to)
+    txctx.warm_addresses.add(block.coinbase)
+    for p in range(1, 0x0B):
+        txctx.warm_addresses.add(p.to_bytes(20, "big"))
     msg = Message(
         caller=sender,
         to=tx.to,

@@ -6,13 +6,12 @@ CALLCODE), CREATE/CREATE2 with EIP-170 code-size limits, LOGs, REVERT
 with state rollback, and the 0x01-0x08 precompiles backed by this repo's
 own crypto (secp256k1 ecrecover, bn254 pairing ops).
 
-Gas model: the classic static cost table + quadratic memory expansion +
-EIP-3860 initcode costs; warm/cold access-list accounting (EIP-2929) is
-simplified to flat costs, and SSTORE uses the net-metered constants
-without the original-value journal — documented divergences recorded in
-`GAS_MODEL_NOTES`. Execution SEMANTICS (state transitions, call stack,
-revert scopes) follow the yellow paper; gas_used figures are therefore
-close-but-not-consensus-exact.
+Gas model: the static cost table + quadratic memory expansion + EIP-3860
+initcode costs + EIP-2929 warm/cold access accounting (transaction-scoped
+address/slot sets journaled across revert scopes, tx-prewarming of
+origin/to/coinbase/precompiles) + EIP-2200/3529 SSTORE net metering with
+the original-value journal and the post-London refund ladder. Remaining
+divergences recorded in `GAS_MODEL_NOTES`.
 
 Reference analog: sbv_core::verifier::run's inner revm execution
 (crates/types/chunk/src/scroll/execute.rs:44-48).
@@ -32,9 +31,17 @@ MAX_CODE_SIZE = 0x6000
 MAX_INITCODE_SIZE = 2 * MAX_CODE_SIZE
 
 GAS_MODEL_NOTES = (
-    "flat account/storage access costs (no EIP-2929 warm/cold sets); "
-    "SSTORE net metering approximated without original-value tracking"
+    "EIP-2930 typed-tx access lists are not pre-warmed (witness txs carry "
+    "none); Scroll L1 data fee not modeled (fee accounting only)"
 )
+
+# EIP-2929 constants
+WARM_ACCESS_COST = 100
+COLD_ACCOUNT_COST = 2600
+COLD_SLOAD_COST = 2100
+# EIP-3529
+SSTORE_CLEARS_REFUND = 4800
+GAS_NEW_ACCOUNT = 25000
 
 
 @dataclass
@@ -53,6 +60,11 @@ class BlockCtx:
 class TxCtx:
     origin: bytes = b"\x00" * 20
     gas_price: int = 0
+    # EIP-2929 transaction-scoped access sets (journaled across revert
+    # scopes by execute_message) + the EIP-2200 original-value journal
+    warm_addresses: set = field(default_factory=set)
+    warm_slots: set = field(default_factory=set)
+    original_storage: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -165,6 +177,22 @@ class Interpreter:
             return
         self.mem_expand(off, len(data))
         self.memory[off : off + len(data)] = data
+
+    # -- EIP-2929 access accounting ----------------------------------------
+    def charge_account_access(self, addr: bytes) -> None:
+        if addr in self.tx.warm_addresses:
+            self.use_gas(WARM_ACCESS_COST)
+        else:
+            self.tx.warm_addresses.add(addr)
+            self.use_gas(COLD_ACCOUNT_COST)
+
+    def charge_slot_access(self, addr: bytes, key: int) -> None:
+        sk = (addr, key)
+        if sk in self.tx.warm_slots:
+            self.use_gas(WARM_ACCESS_COST)
+        else:
+            self.tx.warm_slots.add(sk)
+            self.use_gas(COLD_SLOAD_COST)
 
     # -- main loop ---------------------------------------------------------
     def run(self) -> ExecResult:
@@ -370,9 +398,11 @@ def _sha3(vm):
 def _address(vm):
     vm.push(_addr_int(vm.msg.to))
 
-@_op(0x31, 100)
+@_op(0x31, 0)
 def _balance(vm):
-    vm.push(vm.state.get_balance(_int_addr(vm.pop())))
+    addr = _int_addr(vm.pop())
+    vm.charge_account_access(addr)
+    vm.push(vm.state.get_balance(addr))
 
 @_op(0x32, 2)
 def _origin(vm):
@@ -418,13 +448,16 @@ def _codecopy(vm):
 def _gasprice(vm):
     vm.push(vm.tx.gas_price)
 
-@_op(0x3B, 100)
+@_op(0x3B, 0)
 def _extcodesize(vm):
-    vm.push(len(vm.state.get_code(_int_addr(vm.pop()))))
+    addr = _int_addr(vm.pop())
+    vm.charge_account_access(addr)
+    vm.push(len(vm.state.get_code(addr)))
 
-@_op(0x3C, 100)
+@_op(0x3C, 0)
 def _extcodecopy(vm):
     addr = _int_addr(vm.pop())
+    vm.charge_account_access(addr)
     dst, src, size = vm.pop(), vm.pop(), vm.pop()
     vm.use_gas(3 * ((size + 31) // 32))
     d = vm.state.get_code(addr)[src : src + size]
@@ -442,9 +475,10 @@ def _returndatacopy(vm):
         raise VmError("returndata out of bounds")
     vm.mwrite(dst, vm.returndata[src : src + size])
 
-@_op(0x3F, 100)
+@_op(0x3F, 0)
 def _extcodehash(vm):
     addr = _int_addr(vm.pop())
+    vm.charge_account_access(addr)
     if not vm.state.account_exists(addr):
         vm.push(0)
     else:
@@ -509,25 +543,55 @@ def _mstore8(vm):
     off, v = vm.pop(), vm.pop()
     vm.mwrite(off, bytes([v & 0xFF]))
 
-@_op(0x54, 100)
+@_op(0x54, 0)
 def _sload(vm):
-    vm.push(vm.state.get_storage(vm.msg.to, vm.pop()))
+    key = vm.pop()
+    vm.charge_slot_access(vm.msg.to, key)
+    vm.push(vm.state.get_storage(vm.msg.to, key))
 
 @_op(0x55, 0)
 def _sstore(vm):
+    """EIP-2200 net metering + EIP-2929 cold surcharge + EIP-3529 refund
+    ladder, against the transaction-start original value."""
     if vm.msg.is_static:
         raise VmError("SSTORE in static context")
+    if vm.gas <= 2300:
+        raise VmError("SSTORE gas sentry (EIP-2200)")
     key, val = vm.pop(), vm.pop()
-    cur = vm.state.get_storage(vm.msg.to, key)
+    addr = vm.msg.to
+    sk = (addr, key)
+    cost = 0
+    if sk not in vm.tx.warm_slots:
+        vm.tx.warm_slots.add(sk)
+        cost += COLD_SLOAD_COST
+    cur = vm.state.get_storage(addr, key)
+    # first touch this tx records the tx-start value (all later writes go
+    # through this journal, so the first SSTORE sees the original)
+    orig = vm.tx.original_storage.setdefault(sk, cur)
     if cur == val:
-        vm.use_gas(100)
-    elif cur == 0:
-        vm.use_gas(20000)
+        cost += WARM_ACCESS_COST
+    elif cur == orig:
+        cost += 20000 if orig == 0 else 5000 - COLD_SLOAD_COST
     else:
-        vm.use_gas(2900)
-        if val == 0:
-            vm.refund += 4800
-    vm.state.set_storage(vm.msg.to, key, val)
+        cost += WARM_ACCESS_COST
+    vm.use_gas(cost)
+    if cur != val:
+        if cur == orig:
+            if orig != 0 and val == 0:
+                vm.refund += SSTORE_CLEARS_REFUND
+        else:
+            if orig != 0:
+                if cur == 0:
+                    vm.refund -= SSTORE_CLEARS_REFUND
+                elif val == 0:
+                    vm.refund += SSTORE_CLEARS_REFUND
+            if val == orig:
+                if orig == 0:
+                    vm.refund += 20000 - WARM_ACCESS_COST
+                else:
+                    vm.refund += (5000 - COLD_SLOAD_COST
+                                  - WARM_ACCESS_COST)
+    vm.state.set_storage(addr, key, val)
 
 @_op(0x56, 8)
 def _jump(vm):
@@ -657,7 +721,14 @@ def _selfdestruct(vm):
     if vm.msg.is_static:
         raise VmError("SELFDESTRUCT in static context")
     to = _int_addr(vm.pop())
+    # EIP-2929: cold beneficiary surcharge (no warm discount on the base)
+    if to not in vm.tx.warm_addresses:
+        vm.tx.warm_addresses.add(to)
+        vm.use_gas(COLD_ACCOUNT_COST)
     bal = vm.state.get_balance(vm.msg.to)
+    if bal and not (vm.state.get_code(to) or vm.state.get_nonce(to)
+                    or vm.state.get_balance(to)):
+        vm.use_gas(GAS_NEW_ACCOUNT)
     vm.state.sub_balance(vm.msg.to, bal)
     vm.state.add_balance(to, bal)
     # EIP-6780 semantics: only destroy if created in this tx (not tracked;
@@ -673,10 +744,16 @@ def _call_common(vm: Interpreter, op: int):
     out_off, out_size = vm.pop(), vm.pop()
     data = vm.mread(in_off, in_size)
     vm.mem_expand(out_off, out_size)
+    vm.charge_account_access(addr)
     if value and vm.msg.is_static and op == 0xF1:
         raise VmError("value transfer in static context")
     if value:
         vm.use_gas(9000)
+        # EIP-161/2929: creating a dead account by value transfer
+        if op == 0xF1 and not (vm.state.get_code(addr)
+                               or vm.state.get_nonce(addr)
+                               or vm.state.get_balance(addr)):
+            vm.use_gas(GAS_NEW_ACCOUNT)
     # 63/64 rule
     gas = min(gas_req, vm.gas - vm.gas // 64)
     vm.use_gas(gas)
@@ -712,7 +789,7 @@ def _call_common(vm: Interpreter, op: int):
 
 
 for _opc in (0xF1, 0xF2, 0xF4, 0xFA):
-    _op(_opc, 100)(lambda vm, _o=_opc: _call_common(vm, _o))
+    _op(_opc, 0)(lambda vm, _o=_opc: _call_common(vm, _o))
 
 
 def _create_common(vm: Interpreter, op: int):
@@ -762,6 +839,19 @@ def compute_create2_address(caller: bytes, salt: int,
 
 def execute_message(state, block: BlockCtx, tx: TxCtx,
                     msg: Message) -> ExecResult:
+    """Run one message; on failure the EIP-2929 access sets revert with
+    the state (per the spec: a reverted scope's additions are undone)."""
+    warm_a = set(tx.warm_addresses)
+    warm_s = set(tx.warm_slots)
+    res = _execute_message_inner(state, block, tx, msg)
+    if not res.success:
+        tx.warm_addresses = warm_a
+        tx.warm_slots = warm_s
+    return res
+
+
+def _execute_message_inner(state, block: BlockCtx, tx: TxCtx,
+                           msg: Message) -> ExecResult:
     if msg.depth > 1024:
         return ExecResult(False, msg.gas, b"")
     snap = state.snapshot()
@@ -786,6 +876,7 @@ def execute_message(state, block: BlockCtx, tx: TxCtx,
             state.revert(snap)
             return ExecResult(False, 0, b"")
         state.create_account(created)
+        tx.warm_addresses.add(created)  # EIP-2929
         state.inc_nonce(created)  # EIP-161
         if msg.value:
             state.sub_balance(msg.caller, msg.value)

@@ -73,6 +73,10 @@ class StarkProof:
     # verifier-in-circuit aggregation (empty for leaf-level app proofs)
     agg_children: List[AggChildRecord] = field(default_factory=list)
     input_commits: List[bytes] = field(default_factory=list)
+    # deferred aggregation: the discharge machine proof that verifies the
+    # children the guest deferred (empty when children were verified
+    # in-circuit or the proof aggregates nothing) — host/deferred.py
+    deferral_discharge: bytes = b""
 
     def to_dict(self):
         b64 = lambda b: base64.b64encode(b).decode()
@@ -86,6 +90,8 @@ class StarkProof:
         if self.agg_children:
             d["agg_children"] = [c.to_dict() for c in self.agg_children]
             d["input_commits"] = [c.hex() for c in self.input_commits]
+        if self.deferral_discharge:
+            d["deferral_discharge"] = b64(self.deferral_discharge)
         return d
 
     @classmethod
@@ -104,6 +110,7 @@ class StarkProof:
             input_commits=[
                 bytes.fromhex(c) for c in d.get("input_commits", [])
             ],
+            deferral_discharge=u64(d.get("deferral_discharge", "")),
         )
 
     def public_values(self) -> List[int]:

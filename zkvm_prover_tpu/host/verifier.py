@@ -74,6 +74,12 @@ class UniversalVerifier:
     def _verify_decoded(
         vk: bytes, proof: StarkProof, stark: StarkConfig, app
     ) -> bool:
+        if proof.deferral_discharge:
+            # deferred aggregation: the guest deferred child verification;
+            # the envelope carries a discharge proof (host/deferred.py)
+            from .deferred import verify_deferred
+
+            return verify_deferred(proof, stark)
         mproof = serialization.decode_machine_proof(proof.proof)
         airs = app.airs_for_meta(mproof.meta)
         n_app = len(airs)

@@ -66,6 +66,7 @@ EC_REQ_BUS = 47       # SystemAir ec_add syscall -> EcVmAir handoff
 SHA_REQ_BUS = 48      # SystemAir sha256 syscall -> Sha256VmAir handoff
 EC_DBL_REQ_BUS = 50   # SystemAir ec_double syscall -> EcDoubleVmAir handoff
 RANGE16_BUS = 51      # 16-bit range table (ts-diff low halves)
+DEFER_REQ_BUS = 52    # SystemAir defer syscall -> DeferralVmAir handoff
 
 N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
 #                 = 32 bytes, crates/types/base/src/aggregation.rs)
@@ -1114,7 +1115,8 @@ class SystemAir(Air):
     A3_PREV_TS = 49
     A3_D = 50                    # 2
     F_DBL = 52                   # a7 = 7 (ec_double)
-    width = 53
+    F_DEFER = 53                 # a7 = 8 (defer child-proof verification)
+    width = 54
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
@@ -1131,11 +1133,14 @@ class SystemAir(Air):
         f_ec = b.local(C.F_EC)
         f_sha = b.local(C.F_SHA)
         f_dbl = b.local(C.F_DBL)
+        f_defer = b.local(C.F_DEFER)
         b.assert_bool(real)
-        for f in (f_halt, f_hint, f_rev, f_kec, f_mod, f_ec, f_sha, f_dbl):
+        for f in (f_halt, f_hint, f_rev, f_kec, f_mod, f_ec, f_sha, f_dbl,
+                  f_defer):
             b.assert_bool(f)
         b.assert_eq(b.add(b.add(b.add(f_halt, f_hint), b.add(f_rev, f_kec)),
-                          b.add(b.add(f_mod, f_ec), b.add(f_sha, f_dbl))),
+                          b.add(b.add(f_mod, f_ec),
+                                b.add(b.add(f_sha, f_dbl), f_defer))),
                     real)
 
         zero = b.constant(0)
@@ -1172,7 +1177,8 @@ class SystemAir(Air):
                                 b.mul(b.constant(4), f_mod))),
                     b.add(b.add(b.mul(b.constant(5), f_ec),
                                 b.mul(b.constant(6), f_sha)),
-                          b.mul(b.constant(7), f_dbl))),
+                          b.add(b.mul(b.constant(7), f_dbl),
+                                b.mul(b.constant(8), f_defer)))),
               zero, zero, zero]
         port(17, C.A7_PREV_TS, ts, C.A7_D, a7, a7, real)
 
@@ -1183,12 +1189,12 @@ class SystemAir(Air):
 
         # a0 (x10) read at ts+1: halt exit code / reveal word / msg or rd ptr
         a0 = [b.local(C.A0_VAL + k) for k in range(N_LIMBS)]
-        m0 = b.add(b.add(f_halt, f_rev), f_ptr)
+        m0 = b.add(b.add(b.add(f_halt, f_rev), f_ptr), f_defer)
         port(10, C.A0_PREV_TS, b.add(ts, one), C.A0_D, a0, a0, m0)
         for k in range(N_LIMBS):
             b.assert_zero(b.mul(f_halt, a0[k]))
         for k in (2, 3):
-            b.assert_zero(b.mul(f_ptr, a0[k]))
+            b.assert_zero(b.mul(b.add(f_ptr, f_defer), a0[k]))
 
         # a0 (x10) write at ts+1 for hint (host-chosen word)
         hv = [b.local(C.H_VAL + k) for k in range(N_LIMBS)]
@@ -1242,6 +1248,7 @@ class SystemAir(Air):
         b.push_send(EC_DBL_REQ_BUS,
                     [pc, ts, a0[0], a0[1], a1[0], a1[1], a3[0]],
                     f_dbl)
+        b.push_send(DEFER_REQ_BUS, [pc, ts, a0[0], a0[1]], f_defer)
 
 
 class PublicValuesAir(Air):
@@ -1937,6 +1944,12 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
             row[C.H_VAL + k] = st.bcheck(v)
         port(10, C.H_PREV_TS, ts + 1, C.H_D, new_val=rd_val)
         return pc + 4, None
+    if a7 == 8:  # DEFER: bind 64 bytes (vk digest || pi digest) at a0
+        row[C.F_DEFER] = 1
+        for k, v in enumerate(_limbs(a0)):
+            row[C.A0_VAL + k] = v
+        port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
+        return pc + 4, (8, (a0,))
     if a7 in (3, 4, 5, 6, 7):  # KECCAK / MODOP / EC_ADD / SHA256 / EC_DBL
         row[{3: C.F_KECCAK, 4: C.F_MOD, 5: C.F_EC, 6: C.F_SHA,
              7: C.F_DBL}[a7]] = 1
@@ -2028,6 +2041,9 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     ec_doubles: list = []   # ((x1,y1), m) requests EcDoubleAir serves
     sha_rows: list = []
     sha_blocks: list = []   # (h_in, block_words) Sha256Air compressions
+    defer_rows: list = []
+    defer_p2_inputs: list = []  # (16,) canonical Poseidon2Air requests
+    defer_acc = np.zeros(8, dtype=np.uint32)  # running deferral digest
 
     ts_counter = 1  # running timestamp (ext-chip rows consume wide windows)
     for i in range(len(records)):
@@ -2057,9 +2073,9 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             elif ext is not None and ext[0] == 4:
                 from .vm_ext import MOD_TS_WINDOW, fill_modop_row
 
-                mrow, bop = fill_modop_row(st, pc, ts, *ext[1])
+                mrow, bops = fill_modop_row(st, pc, ts, *ext[1])
                 mod_rows.append(mrow)
-                bigint_ops.append(bop)
+                bigint_ops.extend(bops)
                 ts_counter += MOD_TS_WINDOW
             elif ext is not None and ext[0] == 5:
                 from .vm_ext import EC_TS_WINDOW, fill_ec_row
@@ -2084,6 +2100,14 @@ def generate_traces(program_words: List[int], records: np.ndarray,
                 dbl_rows.append(drow)
                 ec_doubles.append(dbl)
                 ts_counter += DBL_TS_WINDOW
+            elif ext is not None and ext[0] == 8:
+                from .deferral_vm import DEFER_TS_WINDOW, fill_defer_row
+
+                frow, defer_acc, p2_in = fill_defer_row(
+                    st, pc, ts, ext[1][0], defer_acc)
+                defer_rows.append(frow)
+                defer_p2_inputs += p2_in
+                ts_counter += DEFER_TS_WINDOW
             st.fin_pc, st.fin_ts = next_pc, ts_counter
             continue
         target = (pc + boff) if kind in BRANCH_SET | {K_JAL} else 0
@@ -2199,6 +2223,32 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         sa = Sha256Air(log_n=sa_log_n)
         sa_tr = sa.generate_trace(sha_blocks, [1] * len(sha_blocks))
         out.append((sa, sa_tr, []))
+
+    # deferral syscall chip (present only when the program deferred)
+    if defer_rows:
+        from .deferral_vm import ACC_IN as D_ACC_IN
+        from .deferral_vm import DIGEST as D_DIGEST
+        from .deferral_vm import NUM_COLS as D_NUM_COLS
+        from .deferral_vm import DeferralVmAir
+        from .poseidon2_air import Poseidon2Air
+
+        n_f = max(4, 1 << (len(defer_rows) - 1).bit_length())
+        f_tr = np.zeros((n_f, D_NUM_COLS), dtype=np.uint32)
+        for j, r in enumerate(defer_rows):
+            f_tr[j] = r
+        # padding rows thread the final accumulator through to the last
+        # row, where the public-value binding reads it
+        for j in range(len(defer_rows), n_f):
+            f_tr[j, D_ACC_IN : D_ACC_IN + D_DIGEST] = defer_acc
+        out.append((DeferralVmAir(), f_tr,
+                    [int(v) for v in defer_acc]))
+        out.append((
+            Poseidon2Air(),
+            Poseidon2Air.generate_trace(
+                np.asarray(defer_p2_inputs, dtype=np.uint32),
+                [1] * len(defer_p2_inputs)),
+            [],
+        ))
 
     # program ROM
     program_air = ProgramAirV2(program_words)

@@ -58,7 +58,7 @@ N_WORDS = 8             # RAM words per operand
 MOD_TS_WINDOW = 32      # 16 reads + 8 writes + margin
 EC_TS_WINDOW = 56       # 32 reads + 16 writes + margin
 
-OP_MUL, OP_ADD, OP_SUB = 0, 1, 2
+OP_MUL, OP_ADD, OP_SUB, OP_DIV = 0, 1, 2, 3
 
 # Modulus byte tables: M_TABLE[j][k] = limb k of SUPPORTED_MODULI[j]
 M_TABLE = [[(m >> (8 * k)) & 0xFF for k in range(N_LIMBS)]
@@ -130,7 +130,9 @@ WRP = YRD + 7 * N_WORDS     # 8 x [prev_ts, d0, d1, old0..old3]
 RES = WRP + 7 * N_WORDS     # 32 result limbs
 CMP_D = RES + N_LIMBS       # 32 limbs of m - 1 - r (canonicity r < m)
 CMP_BW = CMP_D + N_LIMBS    # 31 borrow bits
-MOD_NUM_COLS = CMP_BW + (N_LIMBS - 1)
+F_DIV = CMP_BW + (N_LIMBS - 1)   # op 3: modular division (openvm ModularDiv)
+YINV = F_DIV + 1            # 32 limbs: witnessed y^{-1} (div invertibility)
+MOD_NUM_COLS = YINV + N_LIMBS
 
 
 class ModularVmAir(Air):
@@ -146,11 +148,12 @@ class ModularVmAir(Air):
         c256 = b.constant(256)
         real = b.local(IS_REAL)
         b.assert_bool(real)
-        f_op = [b.local(F_MUL), b.local(F_ADD), b.local(F_SUB)]
+        f_op = [b.local(F_MUL), b.local(F_ADD), b.local(F_SUB),
+                b.local(F_DIV)]
         f_m = [b.local(FMOD + j) for j in range(N_MODULI)]
         for f in f_op + f_m:
             b.assert_bool(f)
-        op_sum = b.add(b.add(f_op[0], f_op[1]), f_op[2])
+        op_sum = b.add(b.add(f_op[0], f_op[1]), b.add(f_op[2], f_op[3]))
         b.assert_eq(op_sum, real)
         m_sum = f_m[0]
         for f in f_m[1:]:
@@ -159,7 +162,9 @@ class ModularVmAir(Air):
 
         # sel recomposition binds the op/modulus flags to the request
         sel_expr = b.mul(b.constant(16),
-                         b.add(f_op[1], b.mul(b.constant(2), f_op[2])))
+                         b.add(b.add(f_op[1], b.mul(b.constant(2),
+                                                    f_op[2])),
+                               b.mul(b.constant(3), f_op[3])))
         for j in range(N_MODULI):
             if j:
                 sel_expr = b.add(sel_expr, b.mul(b.constant(j), f_m[j]))
@@ -236,22 +241,33 @@ class ModularVmAir(Air):
         #   mul: (x, y, 0, r, m)        r = x*y       mod m
         #   add: (x, 1, y, r, m)        r = x + y     mod m
         #   sub: (1, y, r, x, m)        r = x - y     mod m  (y + r == x)
-        f_mul, f_add, f_sub = f_op
+        #   div: (r, y, 0, x, m)        r = x / y     mod m  (r*y == x)
+        f_mul, f_add, f_sub, f_div = f_op
         mul_or_add = b.add(f_mul, f_add)
         zero = b.constant(0)
         slot_a, slot_b, slot_c, slot_r = [], [], [], []
         for k in range(N_LIMBS):
             d0 = one if k == 0 else zero
-            slot_a.append(b.add(b.mul(mul_or_add, x_limbs[k]),
-                                b.mul(f_sub, d0)))
-            slot_b.append(b.add(b.mul(b.add(f_mul, f_sub), y_limbs[k]),
+            slot_a.append(b.add(b.add(b.mul(mul_or_add, x_limbs[k]),
+                                      b.mul(f_sub, d0)),
+                                b.mul(f_div, r_limbs[k])))
+            slot_b.append(b.add(b.mul(b.add(b.add(f_mul, f_sub), f_div),
+                                      y_limbs[k]),
                                 b.mul(f_add, d0)))
             slot_c.append(b.add(b.mul(f_add, y_limbs[k]),
                                 b.mul(f_sub, r_limbs[k])))
             slot_r.append(b.add(b.mul(mul_or_add, r_limbs[k]),
-                                b.mul(f_sub, x_limbs[k])))
+                                b.mul(b.add(f_sub, f_div), x_limbs[k])))
         b.push_send(MODMUL_BUS, slot_a + slot_b + slot_c + slot_r + m_limbs,
                     real)
+
+        # div soundness: r*y == x alone is satisfied by any r when y == 0
+        # (then x must be 0) — require y invertible: y * yinv == 1 mod m
+        yinv = [b.local(YINV + k) for k in range(N_LIMBS)]
+        one_limbs = [one] + [zero] * (N_LIMBS - 1)
+        zeros = [zero] * N_LIMBS
+        b.push_send(MODMUL_BUS,
+                    y_limbs + yinv + zeros + one_limbs + m_limbs, f_div)
 
         # the RAM-written result is canonical (r < m): the bigint identity
         # alone only fixes r mod m
@@ -266,19 +282,19 @@ class ModularVmAir(Air):
 
 
 def fill_modop_row(st, pc: int, ts: int, rd_ptr: int, x_ptr: int,
-                   y_ptr: int, sel: int) -> Tuple[np.ndarray, Tuple]:
+                   y_ptr: int, sel: int) -> Tuple[np.ndarray, List[Tuple]]:
     """Build the ModularVmAir row for one a7=4 syscall. Updates the shared
-    _TraceState (rv32_v2) RAM/byte state. Returns (row, bigint_op) where
-    bigint_op is the (a, b, c, m) tuple BigIntModMulAir must serve."""
+    _TraceState (rv32_v2) RAM/byte state. Returns (row, bigint_ops): the
+    (a, b, c, m) tuples BigIntModMulAir must serve (two for div)."""
     for p in (rd_ptr, x_ptr, y_ptr):
         assert p % 4 == 0 and st.data_base <= p < (1 << 16), (
             "modop buffers must be word-aligned RAM addresses")
     op, mi = sel >> 4, sel & 15
-    assert op in (OP_MUL, OP_ADD, OP_SUB) and mi < N_MODULI
+    assert op in (OP_MUL, OP_ADD, OP_SUB, OP_DIV) and mi < N_MODULI
     m = SUPPORTED_MODULI[mi]
     row = np.zeros(MOD_NUM_COLS, dtype=np.uint32)
     row[IS_REAL] = 1
-    row[(F_MUL, F_ADD, F_SUB)[op]] = 1
+    row[(F_MUL, F_ADD, F_SUB, F_DIV)[op]] = 1
     row[FMOD + mi] = 1
     row[REQ_PC], row[REQ_TS] = pc, ts
     row[RD0], row[RD1] = rd_ptr & 0xFF, rd_ptr >> 8
@@ -317,13 +333,19 @@ def fill_modop_row(st, pc: int, ts: int, rd_ptr: int, x_ptr: int,
 
     if op == OP_MUL:
         r = x * y % m
-        bigint_op = (x, y, 0, m)
+        bigint_ops = [(x, y, 0, m)]
     elif op == OP_ADD:
         r = (x + y) % m
-        bigint_op = (x, 1, y, m)
-    else:
+        bigint_ops = [(x, 1, y, m)]
+    elif op == OP_SUB:
         r = (x - y) % m
-        bigint_op = (1, y, r, m)
+        bigint_ops = [(1, y, r, m)]
+    else:  # OP_DIV: r = x / y, with the y*yinv == 1 invertibility request
+        assert y % m != 0, "modular division by zero"
+        yinv = pow(y % m, -1, m)
+        r = x * yinv % m
+        row[YINV : YINV + N_LIMBS] = _limbs(yinv)
+        bigint_ops = [(r, y, 0, m), (y, yinv, 0, m)]
     row[RES : RES + N_LIMBS] = _limbs(r)
     _fill_canonicity(st, row, r, m, CMP_D, CMP_BW)
 
@@ -340,7 +362,7 @@ def fill_modop_row(st, pc: int, ts: int, rd_ptr: int, x_ptr: int,
         for k in range(4):
             row[base + 3 + k] = (old >> (8 * k)) & 0xFF
         st.ram[addr] = (cur_ts, (r >> (32 * w)) & 0xFFFFFFFF)
-    return row, bigint_op
+    return row, bigint_ops
 
 
 # --- EcVmAir ---------------------------------------------------------------

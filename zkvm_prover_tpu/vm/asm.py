@@ -287,7 +287,21 @@ def sha256(ptr: int, length: int, out_ptr: int):
     return out
 
 
-MODOP_MUL, MODOP_ADD, MODOP_SUB = 0, 1, 2
+def defer_verify(ptr: int):
+    """Defer verification of a child proof: mem[ptr..ptr+64) holds
+    keccak(child vk) (32 bytes) || child pi-hash (32 bytes). a0=ptr;
+    a7=8; ecall. The parent proof binds the ordered digest of all
+    deferred pairs (DeferralVmAir public values); the host attaches a
+    discharge proof (reference analog: verify_stark::<0>,
+    crates/types/circuit/src/lib.rs:147-153)."""
+    out = []
+    out += li("a0", ptr)
+    out += li("a7", 8)
+    out.append(ecall())
+    return out
+
+
+MODOP_MUL, MODOP_ADD, MODOP_SUB, MODOP_DIV = 0, 1, 2, 3
 
 
 def modop(rd_ptr: int, x_ptr: int, y_ptr: int, op: int, modulus_idx: int):

@@ -69,3 +69,65 @@ def hash_hints(message: bytes) -> bytes:
     """Hint stream for hash_reveal_program."""
     padded = message + b"\x00" * (-len(message) % 4)
     return len(message).to_bytes(4, "little") + padded
+
+
+def deferred_agg_program() -> List[int]:
+    """The deferred-aggregation guest: for each child proof, read a
+    64-byte leaf — keccak(child vk) || child pi-hash — from the hint
+    stream, store it to RAM, and DEFER its verification (ECALL a7=8);
+    then keccak256 the concatenated leaves and reveal the digest.
+
+    Mirrors the reference batch/bundle guests' deferred `verify_stark`
+    calls (crates/circuits/batch-circuit/src/main.rs:10-35 with
+    crates/types/circuit/src/lib.rs:147-153): child validity is NOT
+    proven here — the DeferralVmAir digest binds the ordered leaf list,
+    and the host attaches a discharge proof (host/deferred.py).
+
+    Hint stream layout: word 0 = N children, then N x 16 words of leaf
+    bytes (little-endian).
+    """
+    body = [
+        *asm.hint_read("s1"),            # s1 = N children
+        *asm.li("s3", MSG_BASE),         # leaf cursor
+        *asm.li("s5", 16),               # words per leaf
+        *asm.li("s0", 0),                # i = 0
+        ("label", "outer"),
+        ("branch", asm.beq, "s0", "s1", "done"),
+        *asm.li("s4", 0),                # j = 0
+        ("label", "inner"),
+        ("branch", asm.beq, "s4", "s5", "after"),
+        *asm.hint_read("t0"),
+        asm.slli("t1", "s4", 2),
+        asm.add("t1", "t1", "s3"),
+        asm.sw("t0", "t1", 0),
+        asm.addi("s4", "s4", 1),
+        ("branch", asm.beq, "zero", "zero", "inner"),
+        ("label", "after"),
+        asm.add("a0", "s3", "zero"),     # defer_verify(s3)
+        *asm.li("a7", 8),
+        asm.ecall(),
+        asm.addi("s3", "s3", 64),
+        asm.addi("s0", "s0", 1),
+        ("branch", asm.beq, "zero", "zero", "outer"),
+        ("label", "done"),
+        # keccak256(MSG_BASE, 64*N, OUT_BASE) over the leaf concatenation
+        *asm.li("a0", MSG_BASE),
+        asm.slli("a1", "s1", 6),
+        *asm.li("a2", OUT_BASE),
+        *asm.li("a7", 3),
+        asm.ecall(),
+    ]
+    for i in range(8):
+        body += [
+            *asm.li("t1", OUT_BASE + 4 * i),
+            asm.lw("t0", "t1", 0),
+            *asm.reveal("t0", i),
+        ]
+    body.append(asm.halt(0))
+    return asm.assemble(body)
+
+
+def deferred_agg_hints(leaves: List[bytes]) -> bytes:
+    """Hint stream for deferred_agg_program (64-byte leaves)."""
+    assert all(len(l) == 64 for l in leaves)
+    return len(leaves).to_bytes(4, "little") + b"".join(leaves)
