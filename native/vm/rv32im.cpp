@@ -630,6 +630,36 @@ bool step(Machine &m) {
         m.touch(rd_ptr, 64);
         for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, x3.w[i]);
         for (int i = 0; i < 8; i++) m.store32(rd_ptr + 32 + 4 * i, y3.w[i]);
+      } else if (a7 == 9) { // FP2: mem[a0..+64) = x (op) y in Fp[u]/(u^2+1)
+        // a1 = x ptr (c0||c1, 16 words), a2 = y ptr, a3 = op*16 + mod idx
+        // (op: 0 mul, 1 add, 2 sub) — proven by Fp2VmAir+BigIntModMulAir
+        uint32_t rd_ptr = a0, xp = m.regs[11], yp = m.regs[12];
+        uint32_t sel = m.regs[13];
+        if ((sel & 15) >= 6 || (sel >> 4) > 2) { m.state = 3; return false; }
+        U256 x0, x1, y0, y1;
+        m.touch(xp, 64); m.touch(yp, 64);
+        for (int i = 0; i < 8; i++) x0.w[i] = m.load32(xp + 4 * i);
+        for (int i = 0; i < 8; i++) x1.w[i] = m.load32(xp + 32 + 4 * i);
+        for (int i = 0; i < 8; i++) y0.w[i] = m.load32(yp + 4 * i);
+        for (int i = 0; i < 8; i++) y1.w[i] = m.load32(yp + 32 + 4 * i);
+        U256 mod = modulus_by_index(sel & 15);
+        uint32_t op = sel >> 4;
+        U256 r0, r1;
+        if (op == 0) { // (x0 + x1 u)(y0 + y1 u), u^2 = -1
+          r0 = u256_modsub(u256_modmul(x0, y0, mod),
+                           u256_modmul(x1, y1, mod), mod);
+          r1 = u256_modadd(u256_modmul(x0, y1, mod),
+                           u256_modmul(x1, y0, mod), mod);
+        } else if (op == 1) {
+          r0 = u256_modadd(x0, y0, mod);
+          r1 = u256_modadd(x1, y1, mod);
+        } else {
+          r0 = u256_modsub(x0, y0, mod);
+          r1 = u256_modsub(x1, y1, mod);
+        }
+        m.touch(rd_ptr, 64);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 4 * i, r0.w[i]);
+        for (int i = 0; i < 8; i++) m.store32(rd_ptr + 32 + 4 * i, r1.w[i]);
       } else if (a7 == 8) { // DEFER: bind mem[a0..+64) (vk dig || pi dig)
         // to the deferral accumulator — no output; DeferralVmAir proves
         // the sponge absorption (deferred child verification is

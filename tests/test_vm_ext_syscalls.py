@@ -286,6 +286,62 @@ def test_sha256_skipped_terminator_breaks():
     assert debug.check_constraints(air, bad, []) != []
 
 
+# --- fp2 -------------------------------------------------------------------
+
+
+def _store_fp2(c0, c1, addr):
+    return _store256(c0, addr) + _store256(c1, addr + 32)
+
+
+@pytest.mark.parametrize("mi", [0, 1])
+def test_fp2_ops(mi):
+    """Fp2 mul/add/sub (ECALL a7=9) over Fp[u]/(u^2+1) — openvm fp2
+    extension parity (chunk-circuit openvm.toml Bn254Fp2)."""
+    m = SUPPORTED_MODULI[mi]
+    x0, x1 = 0xAAA1 * 3**40 % m, 0xBBB2 * 5**33 % m
+    y0, y1 = 0xCCC3 * 7**29 % m, 0xDDD4 * 11**23 % m
+    body = _store_fp2(x0, x1, BASE) + _store_fp2(y0, y1, BASE + 64)
+    body += asm.fp2op(BASE + 128, BASE, BASE + 64, asm.FP2_MUL, mi)
+    body += asm.fp2op(BASE + 192, BASE, BASE + 64, asm.FP2_ADD, mi)
+    body += asm.fp2op(BASE + 256, BASE, BASE + 64, asm.FP2_SUB, mi)
+    for j, off in enumerate((128, 192, 256)):
+        body += _reveal_word(BASE + off, j)          # r0 low word
+        body += _reveal_word(BASE + off + 32, j + 3)  # r1 low word
+    body += asm.halt(0)
+    ex, traces = _run(asm.assemble(body))
+    pvs = ex.public_values()
+    assert pvs[0] == (x0 * y0 - x1 * y1) % m & 0xFFFFFFFF
+    assert pvs[3] == (x0 * y1 + x1 * y0) % m & 0xFFFFFFFF
+    assert pvs[1] == (x0 + y0) % m & 0xFFFFFFFF
+    assert pvs[4] == (x1 + y1) % m & 0xFFFFFFFF
+    assert pvs[2] == (x0 - y0) % m & 0xFFFFFFFF
+    assert pvs[5] == (x1 - y1) % m & 0xFFFFFFFF
+    _check_all(traces)
+
+
+def test_fp2_forged_result_breaks():
+    from zkvm_prover_tpu.models import fp2_vm
+
+    m = SUPPORTED_MODULI[0]
+    body = _store_fp2(123, 456, BASE) + _store_fp2(789, 321, BASE + 64)
+    body += asm.fp2op(BASE + 128, BASE, BASE + 64, asm.FP2_MUL, 0)
+    body += asm.halt(0)
+    _, traces = _run(asm.assemble(body))
+    fi = next(i for i, (a, _, _) in enumerate(traces)
+              if isinstance(a, fp2_vm.Fp2VmAir))
+    air, tr, _ = traces[fi]
+    bad = tr.copy()
+    bad[0, fp2_vm.RES] ^= 1
+    broken = (
+        debug.check_constraints(air, bad, []) != []
+        or debug.check_bus_balance(
+            [(a, t if i != fi else bad) for i, (a, t, _) in
+             enumerate(traces)],
+            {i: p for i, (_, _, p) in enumerate(traces)}) != {}
+    )
+    assert broken
+
+
 # --- end-to-end machine proof ---------------------------------------------
 
 

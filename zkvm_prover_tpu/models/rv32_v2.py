@@ -67,6 +67,7 @@ SHA_REQ_BUS = 48      # SystemAir sha256 syscall -> Sha256VmAir handoff
 EC_DBL_REQ_BUS = 50   # SystemAir ec_double syscall -> EcDoubleVmAir handoff
 RANGE16_BUS = 51      # 16-bit range table (ts-diff low halves)
 DEFER_REQ_BUS = 52    # SystemAir defer syscall -> DeferralVmAir handoff
+FP2_REQ_BUS = 53      # SystemAir fp2 syscall -> Fp2VmAir handoff
 
 N_PV_WORDS = 8  # 32-byte PI hash as 8 u32 words (reference NUM_PUBLIC_VALUES
 #                 = 32 bytes, crates/types/base/src/aggregation.rs)
@@ -1116,7 +1117,8 @@ class SystemAir(Air):
     A3_D = 50                    # 2
     F_DBL = 52                   # a7 = 7 (ec_double)
     F_DEFER = 53                 # a7 = 8 (defer child-proof verification)
-    width = 54
+    F_FP2 = 54                   # a7 = 9 (quadratic-extension fp2 op)
+    width = 55
     num_public_values = 0
 
     def eval(self, b: AirBuilder) -> None:
@@ -1134,12 +1136,13 @@ class SystemAir(Air):
         f_sha = b.local(C.F_SHA)
         f_dbl = b.local(C.F_DBL)
         f_defer = b.local(C.F_DEFER)
+        f_fp2 = b.local(C.F_FP2)
         b.assert_bool(real)
         for f in (f_halt, f_hint, f_rev, f_kec, f_mod, f_ec, f_sha, f_dbl,
-                  f_defer):
+                  f_defer, f_fp2):
             b.assert_bool(f)
         b.assert_eq(b.add(b.add(b.add(f_halt, f_hint), b.add(f_rev, f_kec)),
-                          b.add(b.add(f_mod, f_ec),
+                          b.add(b.add(b.add(f_mod, f_ec), f_fp2),
                                 b.add(b.add(f_sha, f_dbl), f_defer))),
                     real)
 
@@ -1177,15 +1180,16 @@ class SystemAir(Air):
                                 b.mul(b.constant(4), f_mod))),
                     b.add(b.add(b.mul(b.constant(5), f_ec),
                                 b.mul(b.constant(6), f_sha)),
-                          b.add(b.mul(b.constant(7), f_dbl),
-                                b.mul(b.constant(8), f_defer)))),
+                          b.add(b.add(b.mul(b.constant(7), f_dbl),
+                                      b.mul(b.constant(8), f_defer)),
+                                b.mul(b.constant(9), f_fp2)))),
               zero, zero, zero]
         port(17, C.A7_PREV_TS, ts, C.A7_D, a7, a7, real)
 
         # pointer-carrying syscalls: buffers < 2^16 (single-felt MEM_BUS
         # addresses in the extension chips need no carry chains)
         f_ptr = b.add(b.add(b.add(f_kec, f_sha), b.add(f_mod, f_ec)),
-                      f_dbl)
+                      b.add(f_dbl, f_fp2))
 
         # a0 (x10) read at ts+1: halt exit code / reveal word / msg or rd ptr
         a0 = [b.local(C.A0_VAL + k) for k in range(N_LIMBS)]
@@ -1221,8 +1225,8 @@ class SystemAir(Air):
         for k in (2, 3):
             b.assert_zero(b.mul(f_ptr, a2[k]))
 
-        # a3 (x13) read at ts+4: modop/ec/double selector (< 256)
-        f_sel = b.add(b.add(f_mod, f_ec), f_dbl)
+        # a3 (x13) read at ts+4: modop/ec/double/fp2 selector (< 256)
+        f_sel = b.add(b.add(f_mod, f_ec), b.add(f_dbl, f_fp2))
         a3 = [b.local(C.A3_VAL + k) for k in range(N_LIMBS)]
         port(13, C.A3_PREV_TS, b.add(ts, b.constant(4)), C.A3_D, a3, a3,
              f_sel)
@@ -1249,6 +1253,10 @@ class SystemAir(Air):
                     [pc, ts, a0[0], a0[1], a1[0], a1[1], a3[0]],
                     f_dbl)
         b.push_send(DEFER_REQ_BUS, [pc, ts, a0[0], a0[1]], f_defer)
+        b.push_send(FP2_REQ_BUS,
+                    [pc, ts, a0[0], a0[1], a1[0], a1[1], a2[0], a2[1],
+                     a3[0]],
+                    f_fp2)
 
 
 class PublicValuesAir(Air):
@@ -1950,9 +1958,9 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
             row[C.A0_VAL + k] = v
         port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
         return pc + 4, (8, (a0,))
-    if a7 in (3, 4, 5, 6, 7):  # KECCAK / MODOP / EC_ADD / SHA256 / EC_DBL
+    if a7 in (3, 4, 5, 6, 7, 9):  # KECCAK/MODOP/EC_ADD/SHA256/EC_DBL/FP2
         row[{3: C.F_KECCAK, 4: C.F_MOD, 5: C.F_EC, 6: C.F_SHA,
-             7: C.F_DBL}[a7]] = 1
+             7: C.F_DBL, 9: C.F_FP2}[a7]] = 1
         for k, v in enumerate(_limbs(a0)):
             row[C.A0_VAL + k] = v
         port(10, C.A0_PREV_TS, ts + 1, C.A0_D)
@@ -1962,7 +1970,7 @@ def _fill_system(row, st: _TraceState, pc: int, ts: int, rd_val: int):
         for k, v in enumerate(_limbs(a2)):
             row[C.A2_VAL + k] = v
         port(12, C.A2_PREV_TS, ts + 3, C.A2_D)
-        if a7 in (4, 5, 7):  # selector register
+        if a7 in (4, 5, 7, 9):  # selector register
             for k, v in enumerate(_limbs(a3)):
                 row[C.A3_VAL + k] = v
             port(13, C.A3_PREV_TS, ts + 4, C.A3_D)
@@ -2041,6 +2049,7 @@ def generate_traces(program_words: List[int], records: np.ndarray,
     ec_doubles: list = []   # ((x1,y1), m) requests EcDoubleAir serves
     sha_rows: list = []
     sha_blocks: list = []   # (h_in, block_words) Sha256Air compressions
+    fp2_rows: list = []
     defer_rows: list = []
     defer_p2_inputs: list = []  # (16,) canonical Poseidon2Air requests
     defer_acc = np.zeros(8, dtype=np.uint32)  # running deferral digest
@@ -2100,6 +2109,13 @@ def generate_traces(program_words: List[int], records: np.ndarray,
                 dbl_rows.append(drow)
                 ec_doubles.append(dbl)
                 ts_counter += DBL_TS_WINDOW
+            elif ext is not None and ext[0] == 9:
+                from .fp2_vm import FP2_TS_WINDOW, fill_fp2_row
+
+                frow2, bops2 = fill_fp2_row(st, pc, ts, *ext[1])
+                fp2_rows.append(frow2)
+                bigint_ops.extend(bops2)
+                ts_counter += FP2_TS_WINDOW
             elif ext is not None and ext[0] == 8:
                 from .deferral_vm import DEFER_TS_WINDOW, fill_defer_row
 
@@ -2171,7 +2187,7 @@ def generate_traces(program_words: List[int], records: np.ndarray,
         ))
 
     # modular / EC syscall chips (present only when the program used them)
-    if mod_rows or ec_rows or dbl_rows:
+    if mod_rows or ec_rows or dbl_rows or fp2_rows:
         from .bigint_air import BigIntModMulAir
         from .vm_ext import EC_NUM_COLS, MOD_NUM_COLS, EcVmAir, ModularVmAir
 
@@ -2192,6 +2208,14 @@ def generate_traces(program_words: List[int], records: np.ndarray,
             ec_trace, ec_requests = EcAddAir.generate_trace(ec_adds)
             out.append((EcAddAir(), ec_trace, []))
             bigint_ops = bigint_ops + ec_requests
+        if fp2_rows:
+            from .fp2_vm import FP2_NUM_COLS, Fp2VmAir
+
+            n_f2 = max(4, 1 << (len(fp2_rows) - 1).bit_length())
+            f2_tr = np.zeros((n_f2, FP2_NUM_COLS), dtype=np.uint32)
+            for j, r in enumerate(fp2_rows):
+                f2_tr[j] = r
+            out.append((Fp2VmAir(), f2_tr, []))
         if dbl_rows:
             from .ec_double import EcDoubleAir
             from .vm_ext import DBL_NUM_COLS, EcDoubleVmAir

@@ -287,6 +287,23 @@ def sha256(ptr: int, length: int, out_ptr: int):
     return out
 
 
+FP2_MUL, FP2_ADD, FP2_SUB = 0, 1, 2
+
+
+def fp2op(rd_ptr: int, x_ptr: int, y_ptr: int, op: int, modulus_idx: int):
+    """mem[rd_ptr..+64) = mem[x_ptr..+64) (op) mem[y_ptr..+64) over
+    Fp[u]/(u^2+1): a0=rd; a1=x; a2=y; a3=op*16+idx; a7=9; ecall.
+    Elements are c0||c1, two 256-bit LE coordinates, word-aligned."""
+    out = []
+    out += li("a0", rd_ptr)
+    out += li("a1", x_ptr)
+    out += li("a2", y_ptr)
+    out += li("a3", op * 16 + modulus_idx)
+    out += li("a7", 9)
+    out.append(ecall())
+    return out
+
+
 def defer_verify(ptr: int):
     """Defer verification of a child proof: mem[ptr..ptr+64) holds
     keccak(child vk) (32 bytes) || child pi-hash (32 bytes). a0=ptr;
