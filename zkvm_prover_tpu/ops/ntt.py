@@ -92,10 +92,77 @@ def _powers_bitrev_monty(base_int: int, log_n: int):
 # ---------------------------------------------------------------------------
 
 
+# Above this size the jax path uses the four-step decomposition: two
+# half-length stage sweeps over a (n1, n2) matrix layout instead of log_n
+# strided passes. Measured on v5e (round 5): 7.3 -> 51 Gbf/s at 2^20x8
+# (~100% of HBM roofline vs ~14% for the monolithic radix-2 form), and
+# XLA compile drops from minutes to seconds at 2^22. Bit-identical
+# (tests pin it). numpy host path keeps the staged form.
+FOUR_STEP_MIN_LOG_N = 14
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_twiddles(log_n1: int, log_n2: int, inverse: bool = False):
+    """Four-step mid table T[r1, i2] = w_n^(bitrev_{n1}(r1) * i2),
+    Montgomery, numpy (n1, n2)."""
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    w = bb.two_adic_generator_int(log_n1 + log_n2)
+    if inverse:
+        w = pow(w, bb.P - 2, bb.P)
+    rev = _bitrev_perm(log_n1)
+    out = np.empty((n1, n2), dtype=np.uint32)
+    for r1 in range(n1):
+        base = pow(w, int(rev[r1]), bb.P)
+        row = bb.powers_int(base, n2)
+        out[r1] = np.array(
+            [bb.to_monty_int(int(v)) for v in row], dtype=np.uint32
+        )
+    return out
+
+
+def _dif_four_step(x, log_n: int, inverse: bool):
+    """Four-step DIF: natural -> bit-reversed, same output as the staged
+    form (the single-device specialization of the sharded four-step,
+    parallel/ntt_sharded.py)."""
+    log_n1 = log_n // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    rest = x.shape[1:]
+    m = x.reshape((n1, n2) + rest)
+    tw = jnp.asarray(_mid_twiddles(log_n1, log_n2, inverse)).reshape(
+        (n1, n2) + (1,) * len(rest)
+    )
+    a = _dif(m, log_n1, inverse)
+    b_ = bb.mul(a, tw)
+    c_t = jnp.moveaxis(b_, 1, 0)
+    e = _dif(c_t, log_n2, inverse)
+    return jnp.moveaxis(e, 0, 1).reshape(((1 << log_n),) + rest)
+
+
+def _dit_four_step(x, log_n: int, inverse: bool):
+    """Four-step DIT: bit-reversed -> natural (mirror diagram; see
+    parallel/ntt_sharded.py ntt_rev_to_natural_sharded)."""
+    log_n1 = log_n // 2
+    log_n2 = log_n - log_n1
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    rest = x.shape[1:]
+    m = x.reshape((n1, n2) + rest)
+    c_t = jnp.moveaxis(m, 1, 0)
+    e = _dit(c_t, log_n2, inverse)
+    e = jnp.moveaxis(e, 0, 1)
+    tw = jnp.asarray(_mid_twiddles(log_n1, log_n2, inverse)).reshape(
+        (n1, n2) + (1,) * len(rest)
+    )
+    g = _dit(bb.mul(e, tw), log_n1, inverse)
+    return g.reshape(((1 << log_n),) + rest)
+
+
 def _dif(x, log_n: int, inverse: bool):
     """DIF butterflies: natural-order input -> bit-reversed-order output.
     Backend-generic: numpy input runs entirely on numpy (no XLA compile)."""
     xp = np if isinstance(x, np.ndarray) else jnp
+    if xp is jnp and log_n >= FOUR_STEP_MIN_LOG_N:
+        return _dif_four_step(x, log_n, inverse)
     n = x.shape[0]
     w_all = _stage_twiddles(log_n, inverse)
     rest = x.shape[1:]
@@ -114,6 +181,8 @@ def _dif(x, log_n: int, inverse: bool):
 def _dit(x, log_n: int, inverse: bool):
     """DIT butterflies: bit-reversed-order input -> natural-order output."""
     xp = np if isinstance(x, np.ndarray) else jnp
+    if xp is jnp and log_n >= FOUR_STEP_MIN_LOG_N:
+        return _dit_four_step(x, log_n, inverse)
     n = x.shape[0]
     w_all = _stage_twiddles(log_n, inverse)
     rest = x.shape[1:]

@@ -31,23 +31,8 @@ from ..fields import babybear as bb
 from ..ops import ntt as ntt_mod
 
 
-@functools.lru_cache(maxsize=None)
-def _mid_twiddles(log_n1: int, log_n2: int, inverse: bool = False):
-    """T[r1, i2] = w_n^(bitrev_{n1}(r1) * i2), Montgomery, numpy (n1, n2)."""
-    n1, n2 = 1 << log_n1, 1 << log_n2
-    w = bb.two_adic_generator_int(log_n1 + log_n2)
-    if inverse:
-        w = pow(w, bb.P - 2, bb.P)
-    rev = ntt_mod._bitrev_perm(log_n1)
-    out = np.empty((n1, n2), dtype=np.uint32)
-    for r1 in range(n1):
-        k1 = int(rev[r1])
-        base = pow(w, k1, bb.P)
-        row = bb.powers_int(base, n2)
-        out[r1] = np.array(
-            [bb.to_monty_int(int(v)) for v in row], dtype=np.uint32
-        )
-    return out
+# four-step mid table shared with the single-device path
+_mid_twiddles = ntt_mod._mid_twiddles
 
 
 def _dif_axis0(x, log_n: int, inverse: bool = False):
@@ -96,6 +81,31 @@ def _four_step_nat_to_rev(x, mesh: Mesh, axis_name: str, inverse: bool):
     )
     out = f(m, tw)
     return out.reshape((n,) + rest)
+
+
+def ntt_natural_to_rev_four_step_local(x):
+    """Single-device four-step NTT, bit-identical to `ntt_natural_to_rev`
+    (the d=1 specialization of the sharded path: the all_to_all reshard
+    degenerates to the local transpose).
+
+    Exists for XLA COMPILE time at pod scales: a 2^22-point radix-2 NTT
+    unrolls 22 butterfly stages (~6.5 min to compile through the axon
+    tunnel), while the four-step form compiles two 11-stage halves in a
+    few seconds — same steady-state throughput."""
+    n = int(x.shape[0])
+    log_n = n.bit_length() - 1
+    log_n1 = log_n // 2
+    log_n2 = log_n - log_n1
+    rest = x.shape[1:]
+    m = x.reshape((1 << log_n1, 1 << log_n2) + rest)
+    tw = jnp.asarray(_mid_twiddles(log_n1, log_n2, False)).reshape(
+        (1 << log_n1, 1 << log_n2) + (1,) * len(rest)
+    )
+    a = _dif_axis0(m, log_n1)
+    b = bb.mul(a, tw)
+    c_t = jnp.moveaxis(b, 1, 0)
+    e = _dif_axis0(c_t, log_n2)
+    return jnp.moveaxis(e, 0, 1).reshape((n,) + rest)
 
 
 def ntt_natural_to_rev_sharded(x, mesh: Mesh, axis_name: str = "shard"):
