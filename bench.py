@@ -195,23 +195,33 @@ def bench_machine_proof(n_outer=8, n_inner=256):
     }
 
 
-def bench_msm(n=1024):
-    """BN254 MSM pts/s (BASELINE.json metric)."""
+def bench_msm(n=8192):
+    """BN254 MSM pts/s (BASELINE.json metric) — full-width Fr scalars
+    through msm_jac's dispatch (native C++ Pippenger when available)."""
     from zkvm_prover_tpu.fields import bn254 as bn
 
+    try:
+        from zkvm_prover_tpu.fields import bn254_native
+
+        native = bn254_native.available()
+    except Exception:  # pragma: no cover
+        native = False
     rng = np.random.default_rng(1)
     base = [bn.g1_mul_jac(bn.G1_GEN, k + 1) for k in range(64)]
     pts = [base[int(i) % 64] for i in rng.integers(0, 64, size=n)]
-    scalars = [int(x) for x in rng.integers(1, 1 << 62, size=n)]
+    scalars = [int.from_bytes(rng.bytes(32), "little") % bn.R
+               for _ in range(n)]
     t0 = time.time()
-    got = bn.msm_jac(pts, scalars)
+    got = bn.msm_jac(pts, scalars, window=12)
     dt = time.time() - t0
     assert got is not None
     return {
         "n_points": n,
         "msm_wall_s": round(dt, 3),
         "msm_pts_per_s": round(n / dt, 1),
-        "backend": "host jacobian pippenger",
+        "scalar_bits": 254,
+        "backend": ("native C++ jacobian pippenger" if native
+                    else "host-python jacobian pippenger"),
     }
 
 

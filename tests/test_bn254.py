@@ -81,3 +81,28 @@ def test_evm_proof_instance_layout():
     )
     p = EvmProof(proof=b"\xaa" * 64, instances=instances)
     assert bytes(p.public_values()) == pi
+
+
+def test_native_msm_matches_python():
+    """The C++ Pippenger engine must agree with the python reference on
+    mixed cases (infinity inputs, zero scalars, full-width scalars)."""
+    import numpy as np
+
+    from zkvm_prover_tpu.fields import bn254 as bn
+    from zkvm_prover_tpu.fields import bn254_native
+
+    if not bn254_native.available():
+        import pytest
+
+        pytest.skip("native bn254 unavailable")
+    rng = np.random.default_rng(11)
+    base = [bn.g1_mul_jac(bn.G1_GEN, k + 1) for k in range(16)]
+    for n in (8, 61):
+        pts = [None if i % 7 == 3 else base[int(i) % 16] for i in range(n)]
+        sc = [0 if i % 5 == 2
+              else int.from_bytes(rng.bytes(32), "little") % bn.R
+              for i in range(n)]
+        assert bn254_native.msm(pts, sc) == bn.msm(pts, sc)
+    # all-zero / all-infinity edge: the zero result
+    assert bn254_native.msm([base[0]] * 8, [0] * 8) is None
+    assert bn254_native.msm([None] * 8, [5] * 8) is None

@@ -443,8 +443,17 @@ def _jac_add(p: JPoint, q: JPoint) -> JPoint:
 def msm_jac(points: Sequence[G1], scalars: Sequence[int],
             window: int = 8) -> G1:
     """Pippenger with Jacobian accumulation — no per-add inversion; the
-    PLONK prover's commitment path (one inversion total per MSM)."""
+    PLONK prover's commitment path (one inversion total per MSM).
+
+    Dispatches to the native C++ engine (fields/bn254_native.py) when
+    available — ~40x the python-int path (round-5 measurement); the
+    python path below remains the correctness reference and fallback."""
     assert len(points) == len(scalars)
+    if len(points) >= 8:
+        from . import bn254_native
+
+        if bn254_native.available():
+            return bn254_native.msm(points, scalars, c=window)
     scalars = [s % R for s in scalars]
     jpts = [_jac_from_affine(p) for p in points]
     n_bits = R.bit_length()

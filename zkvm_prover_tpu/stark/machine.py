@@ -188,10 +188,22 @@ def _deep_terms(lde_mats: List[jnp.ndarray], opened_list, x_monty, points,
     x_ext = ext4.from_base(xp.asarray(x_monty, dtype=xp.uint32))
     acc = xp.zeros((m, 4), dtype=xp.uint32)
     gidx = gamma_base
+    # matrices opened at the same point share one domain-wide ext4 inverse
+    # (the per-element norm/exp-chain inversion is ~80 vector passes)
+    inv_cache = {}
+
+    def inv_at(pt):
+        if xp is not np:
+            return ext4.inv(ext4.sub(x_ext, pt[None, :]))
+        key = np.asarray(pt).tobytes()
+        if key not in inv_cache:
+            inv_cache[key] = ext4.inv(ext4.sub(x_ext, pt[None, :]))
+        return inv_cache[key]
+
     for mat, opened, pt in zip(lde_mats, opened_list, points):
         w = mat.shape[1]
         pt = xp.asarray(pt, dtype=xp.uint32)
-        inv_x = ext4.inv(ext4.sub(x_ext, pt[None, :]))
+        inv_x = inv_at(pt)
         gammas = xp.asarray(gamma_powers[gidx : gidx + w])
         opened = xp.asarray(opened, dtype=xp.uint32)
         if xp is np:
