@@ -206,3 +206,32 @@ def test_internal_node_over_leaf(leaf_setup):
         TAG_INTERNAL, [(leaf_slot.vk_words, leaf_pvs)]
     ))
     assert pi == expect
+
+
+def test_parallel_leaf_siblings_bit_identical(leaf_setup):
+    """Proof-tree parallelism (SURVEY §2.3): sibling leaf nodes proven in
+    a process pool must be byte-identical to the sequential path."""
+    from zkvm_prover_tpu.host import serialization
+    from zkvm_prover_tpu.host.app import get_app
+    from zkvm_prover_tpu.recursion.aggregation import (
+        AggregationTreeConfig,
+        RecursiveAggregationProver,
+    )
+
+    slot, _prog, p1, p2, _np, _pi = leaf_setup
+    children = [p1, p2, p1, p2]
+    prover = RecursiveAggregationProver(
+        slot, TINY,
+        AggregationTreeConfig(num_children_leaf=2,
+                              num_children_internal=3),
+    )
+    seq = prover.aggregate(children)
+    par = prover.aggregate(children, workers=2,
+                           app_vk=get_app("fibonacci").vk_bytes())
+    assert len(seq[0]) == len(par[0]) == 2
+    for a, b in zip(seq[0], par[0]):
+        assert serialization.encode_machine_proof(a.proof) == \
+            serialization.encode_machine_proof(b.proof)
+        assert a.pi_hash == b.pi_hash
+    # the parallel leaves feed the same internal/root chain
+    assert seq[-1][0].pi_hash == par[-1][0].pi_hash

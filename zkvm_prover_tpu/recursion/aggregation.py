@@ -357,6 +357,68 @@ class AggNodeProof:
     children_digests: List[bytes] = field(default_factory=list)
 
 
+def _pool_worker_init() -> None:
+    """Leaf-node workers run on the forced-cpu platform (one full prover
+    stack per process; mirrors parallel/pool.py)."""
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _prove_leaf_node_worker(payload: dict) -> bytes:
+    """Rebuild the leaf program from the registered app and prove one
+    node over its (serialized) child proofs."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover
+        pass
+    from ..host import serialization
+    from ..host.app import app_for_vk
+    from ..stark.config import StarkConfig
+    from ..stark.fri import FriConfig
+
+    cfg = StarkConfig(fri=FriConfig(**payload["fri"]))
+    app = app_for_vk(bytes.fromhex(payload["app_vk"]))
+    assert app is not None, "unknown app vk in leaf-node worker"
+    mps = [serialization.decode_machine_proof(b)
+           for b in payload["proofs"]]
+    meta_like = mps[0].meta
+    slot = ChildSlot(app.airs_for_meta(meta_like),
+                     [ln for (ln, _, _) in meta_like], cfg)
+    prog = AggNodeProgram(TAG_LEAF, [slot] * len(mps), cfg)
+    proof, _ = prog.prove(mps)
+    return serialization.encode_machine_proof(proof)
+
+
+def _prove_leaf_nodes_pool(groups, app_vk: bytes, cfg: StarkConfig,
+                           workers: int):
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    from ..host import serialization
+
+    payloads = [
+        {
+            "app_vk": app_vk.hex(),
+            "fri": {
+                "log_blowup": cfg.fri.log_blowup,
+                "num_queries": cfg.fri.num_queries,
+                "proof_of_work_bits": cfg.fri.proof_of_work_bits,
+            },
+            "proofs": [serialization.encode_machine_proof(p)
+                       for p in group],
+        }
+        for group in groups
+    ]
+    ctx = mp.get_context("spawn")  # never fork a jax-initialised host
+    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx,
+                             initializer=_pool_worker_init) as ex:
+        blobs = list(ex.map(_prove_leaf_node_worker, payloads))
+    return [serialization.decode_machine_proof(b) for b in blobs]
+
+
 class RecursiveAggregationProver:
     """Drives the leaf(4)/internal(3) tree over child machine proofs with
     verifier-in-circuit nodes. Node programs are cached per signature."""
@@ -383,21 +445,45 @@ class RecursiveAggregationProver:
             program.machine_airs(), program._log_ns, program.node_config
         )
 
-    def aggregate(self, child_proofs: Sequence[machine.MachineProof]
+    def aggregate(self, child_proofs: Sequence[machine.MachineProof],
+                  workers: int = 1, app_vk: Optional[bytes] = None,
                   ) -> List[List[AggNodeProof]]:
-        """Full tree; returns proofs per level, root last (single node)."""
+        """Full tree; returns proofs per level, root last (single node).
+
+        workers > 1 proves the LEAF level's sibling nodes in parallel OS
+        processes (the proof-tree parallelism axis, SURVEY.md §2.3 —
+        siblings are independent proofs; internal levels shrink
+        geometrically so the leaf level is where the width is). Requires
+        `app_vk` of a registered app so workers can rebuild the child
+        slot; proofs are bit-identical to the sequential path
+        (prove_machine is deterministic)."""
         levels: List[List[AggNodeProof]] = []
         k = self.tree.num_children_leaf
+        groups = [list(child_proofs[i : i + k])
+                  for i in range(0, len(child_proofs), k)]
         current: List[AggNodeProof] = []
-        for i in range(0, len(child_proofs), k):
-            group = list(child_proofs[i : i + k])
-            prog = self._program(
-                TAG_LEAF, tuple([self.app_slot] * len(group))
-            )
-            proof, pi = prog.prove(group)
-            current.append(AggNodeProof(
-                proof=proof, pi_hash=pi, level="leaf", program=prog,
-            ))
+        if workers > 1 and len(groups) > 1:
+            assert app_vk is not None, (
+                "parallel leaf proving needs the registered app vk")
+            proved = _prove_leaf_nodes_pool(
+                groups, app_vk, self.node_config, workers)
+            for group, mproof in zip(groups, proved):
+                prog = self._program(
+                    TAG_LEAF, tuple([self.app_slot] * len(group)))
+                current.append(AggNodeProof(
+                    proof=mproof,
+                    pi_hash=digest_bytes(prog.expected_digest(group)),
+                    level="leaf", program=prog,
+                ))
+        else:
+            for group in groups:
+                prog = self._program(
+                    TAG_LEAF, tuple([self.app_slot] * len(group))
+                )
+                proof, pi = prog.prove(group)
+                current.append(AggNodeProof(
+                    proof=proof, pi_hash=pi, level="leaf", program=prog,
+                ))
         levels.append(current)
 
         k = self.tree.num_children_internal
