@@ -82,3 +82,39 @@ def test_pod_mesh_shapes():
     mesh = make_pod_mesh()
     assert set(mesh.shape.keys()) == {"data", "shard"}
     assert mesh.shape["data"] * mesh.shape["shard"] <= len(jax.devices())
+
+
+def test_deep_memory_tree_high_offsets():
+    """Round-5 capacity lift: the boundary AIR's 3-limb offset supports
+    depth-20 trees (2^20-32 data words) — store/load far above the old
+    2^16-word cap and prove the segment traces clean."""
+    HIGH = MSG + 4 * 300_000  # word offset 300000 > 2^16
+    body = []
+    body += asm.li("t0", 0xDEADBEEF)
+    body += asm.li("t1", HIGH)
+    body.append(asm.sw("t0", "t1", 0))
+    body += [
+        *asm.li("s0", 0),
+        *asm.li("s1", 200),
+        ("label", "spin"),
+        asm.addi("s0", "s0", 1),
+        ("branch", asm.bne, "s0", "s1", "spin"),
+    ]
+    body += [
+        *asm.li("t1", HIGH),
+        asm.lw("t0", "t1", 0),
+        *asm.reveal("t0", 0),
+        asm.halt(0),
+    ]
+    prog = asm.assemble(body)
+    segments = cont.execute_segments(prog, max_cycles_per_segment=128,
+                                     data_base=MSG, depth=20)
+    assert len(segments) >= 2 and segments[-1].halted
+    for seg in segments:
+        triples = cont.generate_segment_traces(prog, seg, MSG, depth=20)
+        for air, tr, pvs in triples:
+            assert debug.check_constraints(air, tr, pvs) == [], (
+                type(air).__name__)
+        pairs = [(a, t) for a, t, _ in triples]
+        pvs_map = {i: p for i, (_, _, p) in enumerate(triples)}
+        assert debug.check_bus_balance(pairs, pvs_map) == {}

@@ -54,7 +54,9 @@ from .rv32_v2 import EXEC_BUS, MEM_BUS, N_LIMBS, _limbs
 
 MERKLE_BUS = 30
 
-DEPTH = 17            # 2^17 leaves: 32 registers + up to 2^16 data words
+DEPTH = 17            # default 2^17 leaves: 32 regs + ~2^16 data words;
+                      # the boundary AIR's 3-limb offset supports any
+                      # depth <= 24 (64 MiB) — pass `depth=` through
 N_REG_LEAVES = 32
 
 
@@ -167,7 +169,9 @@ class MemoryBoundaryAirV3(Air):
     level-0 update into MERKLE_BUS. Register rows (IS_REG) use REG_BUS with
     leaf = register index (< 32 via the 8*leaf byte check); RAM rows use
     MEM_BUS with leaf = 32 + (addr - data_base)/4, offset range-checked to
-    16 bits."""
+    24 bits (2^24 data words — the reference's DEFERRAL_AS-scale
+    capacity; crates/prover/src/prover/mod.rs:218-233 reserves 2^25
+    cells)."""
 
     IS_REAL = 0
     IS_REG = 1
@@ -176,8 +180,9 @@ class MemoryBoundaryAirV3(Air):
     FINAL_VAL = 7     # 4
     FINAL_TS = 11
     OFF_LO = 12
-    OFF_HI = 13
-    width = 14
+    OFF_MID = 13
+    OFF_HI = 14
+    width = 15
     num_public_values = 0
 
     def __init__(self, data_base: int = 0x2000):
@@ -203,10 +208,16 @@ class MemoryBoundaryAirV3(Air):
         b.push_send(REG_BUS, [leaf, zero] + init, is_reg)
         b.push_receive(REG_BUS, [leaf, fin_ts] + fin, is_reg)
 
-        # RAM: single-felt addr = data_base + 4*(leaf - 32), offset < 2^16
-        lo, hi = b.local(C.OFF_LO), b.local(C.OFF_HI)
-        off = b.add(lo, b.mul(b.constant(256), hi))
+        # RAM: single-felt addr = data_base + 4*(leaf - 32), offset < 2^24
+        # (three byte limbs: 2^24 data words = 64 MiB guest RAM, the
+        # DEFERRAL_AS-scale capacity — addr stays under the MEM_BUS
+        # injective-key bound data_base + 2^26 < 2^31 - 2^27)
+        lo, mid, hi = (b.local(C.OFF_LO), b.local(C.OFF_MID),
+                       b.local(C.OFF_HI))
+        off = b.add(b.add(lo, b.mul(b.constant(256), mid)),
+                    b.mul(b.constant(1 << 16), hi))
         b.push_send(BYTE_BUS, [lo], is_ram)
+        b.push_send(BYTE_BUS, [mid], is_ram)
         b.push_send(BYTE_BUS, [hi], is_ram)
         b.assert_zero(b.mul(is_ram, b.sub(leaf, b.add(off, b.constant(
             N_REG_LEAVES)))))
@@ -500,11 +511,15 @@ def generate_segment_traces(program_words, seg: SegmentWitness,
         row[B.IS_REAL] = 1
         leaf = leaf_of_addr(addr, data_base)
         off = leaf - N_REG_LEAVES
-        assert 0 <= off < (1 << 16), "data word outside the memory tree"
+        assert 0 <= off < min(1 << 24, (1 << depth) - N_REG_LEAVES), \
+            "data word outside the memory tree"
         row[B.LEAF] = leaf
-        row[B.OFF_LO], row[B.OFF_HI] = off & 0xFF, off >> 8
+        row[B.OFF_LO] = off & 0xFF
+        row[B.OFF_MID] = (off >> 8) & 0xFF
+        row[B.OFF_HI] = off >> 16
         st.bcheck(off & 0xFF)
-        st.bcheck(off >> 8)
+        st.bcheck((off >> 8) & 0xFF)
+        st.bcheck(off >> 16)
         row[B.INIT_VAL:B.INIT_VAL + 4] = _limbs(init_ram[addr])
         row[B.FINAL_VAL:B.FINAL_VAL + 4] = _limbs(fval)
         row[B.FINAL_TS] = fts
