@@ -215,4 +215,61 @@ int p2_compress(uint64_t n, uint32_t digest, const uint32_t *l,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// BabyBear batch field kernels (share P_/NP_ with the hash kernel) —
+// the host prover's ext4/base hot loops (DEEP combination, logUp
+// fingerprints, FRI folds). One fused pass per element vs numpy's ~8
+// temporaries per Montgomery multiply.
+// ---------------------------------------------------------------------
+
+int bb_init(uint32_t p, uint32_t np) {
+  P_ = p;
+  NP_ = np;
+  return 0;
+}
+
+// elementwise Montgomery product of two same-length arrays
+int bb_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
+                  uint32_t *out) {
+  if (!P_) return -1;
+  parallel_rows(n, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) out[i] = mont_mul(a[i], b[i]);
+  });
+  return 0;
+}
+
+// quartic-extension product modulo x^4 - w (w Montgomery), (n, 4) lanes
+int ext4_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
+                    uint32_t w, uint32_t *out) {
+  if (!P_) return -1;
+  parallel_rows(n, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) {
+      const uint32_t *x = a + 4 * i;
+      const uint32_t *y = b + 4 * i;
+      uint32_t *o = out + 4 * i;
+      uint32_t c0 = add_p(mont_mul(x[0], y[0]),
+                          mont_mul(w, add_p(add_p(mont_mul(x[1], y[3]),
+                                                  mont_mul(x[2], y[2])),
+                                            mont_mul(x[3], y[1]))));
+      uint32_t c1 = add_p(add_p(mont_mul(x[0], y[1]),
+                                mont_mul(x[1], y[0])),
+                          mont_mul(w, add_p(mont_mul(x[2], y[3]),
+                                            mont_mul(x[3], y[2]))));
+      uint32_t c2 = add_p(add_p(mont_mul(x[0], y[2]),
+                                mont_mul(x[1], y[1])),
+                          add_p(mont_mul(x[2], y[0]),
+                                mont_mul(w, mont_mul(x[3], y[3]))));
+      uint32_t c3 = add_p(add_p(mont_mul(x[0], y[3]),
+                                mont_mul(x[1], y[2])),
+                          add_p(mont_mul(x[2], y[1]),
+                                mont_mul(x[3], y[0])));
+      o[0] = c0;
+      o[1] = c1;
+      o[2] = c2;
+      o[3] = c3;
+    }
+  });
+  return 0;
+}
+
 }  // extern "C"

@@ -196,3 +196,32 @@ def test_mont_matmul_blas_path():
             acc = t if acc is None else bb.add(acc, t)
         ref[:, j] = acc
     np.testing.assert_array_equal(_mont_matmul_np(a, b), ref)
+
+
+def test_native_ext4_mul_bit_identity():
+    """The C++ batch ext4 multiply must match the numpy formula exactly
+    (including broadcast shapes)."""
+    import os
+
+    from zkvm_prover_tpu.fields import ext4
+    from zkvm_prover_tpu.ops import p2_native
+
+    if p2_native._load() is None:
+        import pytest
+
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(9)
+    for sa, sb in (((100, 4), (100, 4)), ((32, 5, 4), (5, 4)),
+                   ((65, 4), (4,))):
+        a = rng.integers(0, P, size=sa, dtype=np.uint64).astype(np.uint32)
+        b_ = rng.integers(0, P, size=sb, dtype=np.uint64).astype(np.uint32)
+        fast = ext4.mul(a, b_)
+        os.environ["ZKVM_TPU_NO_NATIVE_P2"] = "1"
+        p2_native._lib = None
+        try:
+            ref = ext4.mul(a, b_)
+        finally:
+            del os.environ["ZKVM_TPU_NO_NATIVE_P2"]
+            p2_native._lib = None
+            p2_native._inited.clear()
+        np.testing.assert_array_equal(fast, ref)

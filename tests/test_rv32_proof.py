@@ -118,3 +118,53 @@ def test_wraparound_arithmetic_proof():
     cfg = fast_test_config()
     proof = machine.prove_machine(instances, cfg)
     assert machine.verify_machine(airs, proof, cfg)
+
+
+def test_production_config_prove_verify():
+    """Full machine proof at the PRODUCTION security profile (100 FRI
+    queries, 16 PoW bits — openvm.toml parity): prove + verify + one
+    tamper rejection. Heavy tier (~1 min); the bench exercises the same
+    path on every round."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("RUN_HEAVY"):
+        pytest.skip("production-config e2e is the heavy tier")
+    from zkvm_prover_tpu.models import rv32_v2
+    from zkvm_prover_tpu.stark import machine
+    from zkvm_prover_tpu.stark.config import default_config
+    from zkvm_prover_tpu.vm import asm
+    from zkvm_prover_tpu.vm.executor import HALTED, Rv32Executor
+
+    body = [
+        *asm.li("s0", 0), *asm.li("s1", 50), *asm.li("s2", 7),
+        ("label", "loop"),
+        asm.mul("s2", "s2", "s2"),
+        asm.srli("s2", "s2", 3),
+        asm.addi("s2", "s2", 1),
+        asm.addi("s0", "s0", 1),
+        ("branch", asm.bne, "s0", "s1", "loop"),
+        *asm.reveal("s2", 0), *asm.reveal("s0", 1),
+    ]
+    for i in range(2, 8):
+        body += asm.reveal("s1", i)
+    body.append(asm.halt(0))
+    prog = asm.assemble(body)
+    ex = Rv32Executor()
+    ex.load_program(prog)
+    assert ex.run(1 << 14) == HALTED
+    tr = rv32_v2.generate_traces(prog, ex.records(), data_base=0x3000)
+    inst = [machine.AirInstance(a, t, p) for a, t, p in tr]
+    cfg = default_config()
+    assert cfg.fri.num_queries >= 100 and cfg.fri.proof_of_work_bits >= 16
+    proof = machine.prove_machine(inst, cfg)
+    assert machine.verify_machine([a for a, _, _ in tr], proof, cfg)
+    # tamper: corrupt a FRI query opening
+    import copy
+
+    bad = copy.deepcopy(proof)
+    bad.meta = list(bad.meta)
+    (_, w, pvs) = bad.meta[0]
+    bad.meta[0] = (bad.meta[0][0] + 1, w, pvs)  # lie about a height
+    assert not machine.verify_machine([a for a, _, _ in tr], bad, cfg)

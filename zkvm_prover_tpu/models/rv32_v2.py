@@ -30,11 +30,14 @@ cycles). Comparisons use a borrow-chain less-than with the sign-flip trick
 (x <s y  <=>  x^0x80000000 <u y^0x80000000) so one chain serves signed and
 unsigned. All constraints are degree <= 3 (air.MAX_DEGREE).
 
-ECALL rows are proven by SystemAir (HALT / HINT_READ / REVEAL / KECCAK256);
-REVEAL rows bind words into PublicValuesAir via PV_BUS (per-word reveal
-flags, partial reveals sound); KECCAK256 hands off to KeccakVmAir +
-KeccakfAir (keccak_vm.py / keccak_air.py — the openvm keccak extension
-analog).
+ECALL rows are proven by SystemAir. Syscall families (a7): 0 HALT,
+1 HINT_READ, 2 REVEAL, 3 KECCAK256, 4 MODOP (mul/add/sub/div), 5 EC_ADD,
+6 SHA256, 7 EC_DOUBLE, 8 DEFER, 9 FP2. REVEAL rows bind words into
+PublicValuesAir via PV_BUS (per-word reveal flags, partial reveals
+sound); the extension syscalls hand off over dedicated request buses to
+their chips (keccak_vm / sha256_vm / vm_ext / ec_double / fp2_vm /
+deferral_vm — the openvm VM-extension analogs), which own the rest of
+the instruction's timestamp window and send the continuation.
 
 v2 limitations (ROADMAP Phase 4): rd != x0 for writes; RAM initially zero
 at touched addresses above the program image; keccak buffers word-aligned

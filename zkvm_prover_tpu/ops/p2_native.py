@@ -71,6 +71,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64, ctypes.c_uint32, _U32P, _U32P, _U32P,
         ]
         lib.p2_compress.restype = ctypes.c_int
+        lib.bb_init.argtypes = [ctypes.c_uint32, ctypes.c_uint32]
+        lib.bb_init.restype = ctypes.c_int
+        lib.bb_mul_arrays.argtypes = [ctypes.c_uint64, _U32P, _U32P, _U32P]
+        lib.bb_mul_arrays.restype = ctypes.c_int
+        lib.ext4_mul_arrays.argtypes = [
+            ctypes.c_uint64, _U32P, _U32P, ctypes.c_uint32, _U32P,
+        ]
+        lib.ext4_mul_arrays.restype = ctypes.c_int
+        from ..fields import babybear as bb
+
+        lib.bb_init(np.uint32(bb.P), np.uint32(bb.NP))
         _lib = lib
     return _lib
 
@@ -123,6 +134,23 @@ def hash_rows(matrix: np.ndarray, rate: int, digest: int
     s, c = mat.shape
     out = np.empty((s, digest), dtype=np.uint32)
     if lib.p2_hash_rows(s, c, rate, digest, mat, out) != 0:
+        return None  # pragma: no cover
+    return out
+
+
+def ext4_mul(a: np.ndarray, b: np.ndarray, w_monty: int
+             ) -> Optional[np.ndarray]:
+    """Batch quartic-extension multiply on (..., 4) numpy arrays (equal
+    shapes, pre-broadcast). Returns None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint32)
+    b = np.ascontiguousarray(b, dtype=np.uint32)
+    out = np.empty_like(a)
+    n = a.size // 4
+    if lib.ext4_mul_arrays(n, a.reshape(-1), b.reshape(-1),
+                           np.uint32(w_monty), out.reshape(-1)) != 0:
         return None  # pragma: no cover
     return out
 
