@@ -238,6 +238,15 @@ int bb_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
   return 0;
 }
 
+// elementwise Montgomery product by one broadcast scalar
+int bb_mul_scalar(uint64_t n, const uint32_t *a, uint32_t s, uint32_t *out) {
+  if (!P_) return -1;
+  parallel_rows(n, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) out[i] = mont_mul(a[i], s);
+  });
+  return 0;
+}
+
 // quartic-extension product modulo x^4 - w (w Montgomery), (n, 4) lanes
 int ext4_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
                     uint32_t w, uint32_t *out) {

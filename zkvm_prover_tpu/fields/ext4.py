@@ -119,7 +119,11 @@ def _mul_np(a, b):
         return np.stack([c0, c1, c2, c3], axis=-1).astype(np.uint32)
 
 
-_NATIVE_MIN_ELEMS = 64  # below this the ctypes call overhead dominates
+# Native wins at every size on the host path: a single scalar ext mul is
+# ~15us through ctypes vs ~230us through the 19-bb.mul numpy fallback
+# (measured round 5) — the numpy fallback only serves native-unavailable
+# builds.
+_NATIVE_MIN_ELEMS = 1
 
 
 def mul(a, b):

@@ -360,7 +360,11 @@ def eval_poly_at_point_ext(coeffs_rev, point_ext):
         pw = xp.stack([pw, hi], axis=1).reshape(-1, 4)
         zp = ext4.mul(zp, zp)
     # pw[j] = z^bitrev(j), shape (n, 4)
-    # result[w] = sum_j coeffs_rev[j, w] * pw[j]
+    # result[w] = sum_j coeffs_rev[j, w] * pw[j]: base-times-ext sums are
+    # coefficient-wise, so this is a dense (W, n) @ (n, 4) modular matmul
+    # — BLAS on the host path instead of an (n, W, 4) materialization
+    if xp is np and n <= (1 << 21):  # GEMM exactness bound
+        return bb.mont_matmul_np(np.ascontiguousarray(coeffs_rev.T), pw)
     terms = bb.mul(coeffs_rev[..., None], pw[:, None, :])  # (n, W, 4)
     return _field_sum(terms, axis=0)
 

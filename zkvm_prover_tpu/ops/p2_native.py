@@ -75,6 +75,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.bb_init.restype = ctypes.c_int
         lib.bb_mul_arrays.argtypes = [ctypes.c_uint64, _U32P, _U32P, _U32P]
         lib.bb_mul_arrays.restype = ctypes.c_int
+        lib.bb_mul_scalar.argtypes = [
+            ctypes.c_uint64, _U32P, ctypes.c_uint32, _U32P,
+        ]
+        lib.bb_mul_scalar.restype = ctypes.c_int
         lib.ext4_mul_arrays.argtypes = [
             ctypes.c_uint64, _U32P, _U32P, ctypes.c_uint32, _U32P,
         ]
@@ -134,6 +138,32 @@ def hash_rows(matrix: np.ndarray, rate: int, digest: int
     s, c = mat.shape
     out = np.empty((s, digest), dtype=np.uint32)
     if lib.p2_hash_rows(s, c, rate, digest, mat, out) != 0:
+        return None  # pragma: no cover
+    return out
+
+
+def bb_mul(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """Batch base-field Montgomery product: same-shape arrays, or one
+    operand a scalar/size-1 array (broadcast). Returns None when native
+    is unavailable or the broadcast pattern isn't supported."""
+    lib = _load()
+    if lib is None:
+        return None
+    if b.ndim == 0 or b.size == 1:
+        a = np.ascontiguousarray(a, dtype=np.uint32)
+        out = np.empty_like(a)
+        if lib.bb_mul_scalar(a.size, a.reshape(-1),
+                             np.uint32(np.asarray(b).reshape(-1)[0]),
+                             out.reshape(-1)) != 0:
+            return None  # pragma: no cover
+        return out
+    if a.shape != b.shape:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint32)
+    b = np.ascontiguousarray(b, dtype=np.uint32)
+    out = np.empty_like(a)
+    if lib.bb_mul_arrays(a.size, a.reshape(-1), b.reshape(-1),
+                         out.reshape(-1)) != 0:
         return None  # pragma: no cover
     return out
 

@@ -68,8 +68,15 @@ def fingerprint(inter: Interaction, z, beta, point_mode: bool = False):
     beta_x = xp.asarray(beta, dtype=xp.uint32)
     bpow = beta_x
     for f in inter.fields:
-        fe = _as_ext(f, point_mode)
-        term = ext4.mul(xp.broadcast_to(bpow, fe.shape), fe)
+        f_arr = xp.asarray(f, dtype=xp.uint32)
+        if point_mode and f_arr.ndim >= 1:
+            # genuine ext value (OOD point mode) — full ext product
+            term = ext4.mul(xp.broadcast_to(bpow, f_arr.shape), f_arr)
+        else:
+            # base-field column/constant: term = f * beta^k is a SCALE of
+            # the ext power by a base value — 1 broadcast base mul instead
+            # of a 19-mul ext product (the logUp fingerprint hot path)
+            term = bb.mul(f_arr[..., None], bpow)
         acc = ext4.add(
             xp.broadcast_to(acc, term.shape) if acc.ndim < term.ndim else acc,
             term,
@@ -101,7 +108,10 @@ def build_perm_trace(interactions: Sequence[Interaction], z, beta):
         sm = xp.broadcast_to(sm, shape)
         denom = ext4.sub(xp.broadcast_to(xp.asarray(z, dtype=xp.uint32),
                                          shape), fp)
-        c = ext4.mul(sm, ext4.inv(denom))
+        inv_d = ext4.inv(denom)
+        # sm is a signed BASE multiplicity embedded into the ext field
+        # (only coeff 0 nonzero): scale beats a full ext product
+        c = bb.mul(inv_d, sm[..., 0:1])
         cols.append(c)
     shape = np.broadcast_shapes(*[c.shape for c in cols])
     cols = [xp.broadcast_to(c, shape) for c in cols]

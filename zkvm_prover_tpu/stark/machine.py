@@ -113,35 +113,9 @@ def _dev(x):
     return jnp.asarray(x) if x.size >= _DEVICE_MIN_ELEMS else x
 
 
-_P64_ = np.uint64(bb.P)
-_R16_MOD_P = np.uint64((1 << 16) % bb.P)
-_R32_MOD_P = np.uint64((1 << 32) % bb.P)
-
-
-def _mont_matmul_np(a_mont: np.ndarray, b_mont: np.ndarray) -> np.ndarray:
-    """Exact modular matmul of Montgomery operands, Montgomery result:
-    C[i, j] = (sum_k a[i,k] * b[k,j]) * R^{-1} mod p.
-
-    Computed as four float64 BLAS GEMMs on 16-bit halves (each dot
-    accumulates < 2^32 * k <= 2^53 for k <= 2^21 — exact in float64),
-    recombined mod p, then one REDC-by-1 to strip the extra R. This is
-    the DEEP batch-combination hot path on the host backend: a dense
-    (m, w) @ (w, 4) per opened matrix instead of ~100 elementwise numpy
-    passes (profiled round 5)."""
-    a = np.asarray(a_mont, np.uint32)
-    b = np.asarray(b_mont, np.uint32)
-    assert a.shape[-1] == b.shape[0] and a.shape[-1] <= (1 << 21)
-    al = (a & 0xFFFF).astype(np.float64)
-    ah = (a >> 16).astype(np.float64)
-    bl = (b & 0xFFFF).astype(np.float64)
-    bh = (b >> 16).astype(np.float64)
-    ll = (al @ bl).astype(np.uint64)
-    mid = (al @ bh).astype(np.uint64) + (ah @ bl).astype(np.uint64)
-    hh = (ah @ bh).astype(np.uint64)
-    t = (ll % _P64_ + (mid % _P64_) * _R16_MOD_P
-         + (hh % _P64_) * _R32_MOD_P) % _P64_
-    # t = R^2 * (a.b) mod p; one Montgomery reduce by 1 -> R * (a.b)
-    return bb.mul(t.astype(np.uint32), np.uint32(1))
+# Moved to fields/babybear.py (round 5) so ops/ntt.py can share it; the
+# local name is kept for the call sites below.
+_mont_matmul_np = bb.mont_matmul_np
 
 
 def _fold_mixed_ext(constraints: List, alpha):
