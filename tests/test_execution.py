@@ -151,7 +151,10 @@ def sealed():
     txs = _mk_txs()
     hdr, _oracle = _seal_block(trie, codes, txs)
     touched = [ALICE, BOB, SETTER, COINBASE, b"\x11" * 20,
-               blk.WITHDRAW_QUEUE_ADDRESS]
+               blk.WITHDRAW_QUEUE_ADDRESS,
+               # L1 data fee: the oracle account's (absence-)path must be
+               # provable from the witness, exactly as sbv witnesses carry it
+               blk.L1_GAS_PRICE_ORACLE_ADDRESS]
     nodes = _collect_witness(trie, codes, touched,
                              {SETTER: [0],
                               blk.WITHDRAW_QUEUE_ADDRESS: [0]})
@@ -445,3 +448,71 @@ def test_value_transfer_intrinsic_is_21000():
     assert blk._intrinsic_gas(tx) == 21000
     tx.data = b"\x00\x01"  # 4 (zero byte) + 16 (nonzero byte)
     assert blk._intrinsic_gas(tx) == 21020
+
+
+def _oracle_genesis(slots):
+    """Genesis with Alice funded and the L1GasPriceOracle storage set."""
+    trie = mpt.Mpt(mpt.EMPTY_ROOT)
+    codes = {}
+    trie.update(mpt.secure_key(ALICE), Account(nonce=0, balance=10**18).rlp())
+    st = mpt.Mpt(mpt.EMPTY_ROOT, trie.nodes)
+    for k, v in slots.items():
+        st.update(mpt.secure_key(k.to_bytes(32, "big")), rlp.encode_int(v))
+    trie.update(mpt.secure_key(blk.L1_GAS_PRICE_ORACLE_ADDRESS),
+                Account(storage_root=st.root).rlp())
+    return trie, codes
+
+
+def test_l1_data_fee_curie_formula():
+    """Curie+ fee: (commitScalar*l1BaseFee + size*blobScalar*l1BlobBaseFee)
+    / 1e9, charged to the sender and credited to the coinbase, on top of
+    the L2 execution gas; never refunded."""
+    slots = {blk.ORACLE_L1_BASE_FEE_SLOT: 10**9,
+             blk.ORACLE_L1_BLOB_BASE_FEE_SLOT: 5 * 10**8,
+             blk.ORACLE_COMMIT_SCALAR_SLOT: 230_759_955_285,
+             blk.ORACLE_BLOB_SCALAR_SLOT: 417_565_260}
+    trie, codes = _oracle_genesis(slots)
+    tx = _sign(blk.Tx(tx_type=0, nonce=0, gas_limit=21000, to=BOB,
+                      value=12345, data=b"", gas_price=10,
+                      chain_id=534352), ALICE_PRIV)
+    state = WorldState(trie.root, dict(trie.nodes), dict(codes))
+    expected_fee = (slots[blk.ORACLE_COMMIT_SCALAR_SLOT] * 10**9
+                    + len(tx.encode()) * slots[blk.ORACLE_BLOB_SCALAR_SLOT]
+                    * 5 * 10**8) // blk.ORACLE_PRECISION
+    assert blk.l1_data_fee(state, tx) == expected_fee
+    block = BlockCtx(number=1, timestamp=1001, coinbase=COINBASE,
+                     gas_limit=30_000_000, base_fee=1)
+    blk.execute_tx(state, block, tx, 0)
+    assert state.get_balance(ALICE) == (
+        10**18 - 12345 - 21000 * 10 - expected_fee)
+    assert state.get_balance(COINBASE) == 21000 * 10 + expected_fee
+
+
+def test_l1_data_fee_precurie_and_l1_msg_exempt():
+    """Pre-Curie fee: (calldata gas + overhead) * l1BaseFee * scalar / 1e9
+    over the signed-tx RLP bytes; L1 messages pay no L1 fee."""
+    slots = {blk.ORACLE_L1_BASE_FEE_SLOT: 10**9,
+             blk.ORACLE_OVERHEAD_SLOT: 2100,
+             blk.ORACLE_SCALAR_SLOT: 10**9}
+    trie, codes = _oracle_genesis(slots)
+    tx = _sign(blk.Tx(tx_type=0, nonce=0, gas_limit=21000, to=BOB,
+                      value=1, data=b"", gas_price=2,
+                      chain_id=534352), ALICE_PRIV)
+    state = WorldState(trie.root, dict(trie.nodes), dict(codes))
+    raw = tx.encode()
+    calldata_gas = sum(4 if b == 0 else 16 for b in raw)
+    expected = (calldata_gas + 2100) * 10**9 * 10**9 // blk.ORACLE_PRECISION
+    assert blk.l1_data_fee(state, tx) == expected
+    l1msg = blk.Tx(tx_type=blk.L1_MSG_TX_TYPE, nonce=0, gas_limit=100000,
+                   to=BOB, value=0, data=b"", sender=b"\x11" * 20)
+    assert blk.l1_data_fee(state, l1msg) == 0
+
+
+def test_l1_data_fee_absent_oracle_is_zero(sealed):
+    """With no oracle account in the (partial-witness) state the fee is 0
+    and the sealed-block fixtures execute unchanged."""
+    trie, witness = sealed
+    _, post, state = blk.execute_block(witness, trie.root)
+    assert post == witness.header.state_root
+    tx = witness.txs[0]
+    assert blk.l1_data_fee(state, tx) == 0

@@ -14,9 +14,14 @@ Scroll L1 message transactions (0x7E: no signature — the sender is the
 bridge-attested L1 address; no gas payment). Sender recovery runs
 through this repo's secp256k1 (types/chunk/crypto).
 
-Documented divergences from the Scroll node: L1 data-fee accounting is
-omitted (fees = gas_used * effective_gas_price to the coinbase), and the
-gas table approximates EIP-2929 (see interpreter.GAS_MODEL_NOTES).
+L1 data-fee accounting (round 5): the revm-scroll `L1BlockInfo` analog —
+the fee is computed from the L1GasPriceOracle predeploy's storage slots
+(read from the witness state, so partial witnesses must carry the oracle
+path nodes exactly as sbv requires), charged to the sender before
+execution, never refunded, and credited to the coinbase/fee-vault.
+Curie-and-later formula when the commit/blob scalars are set; the
+pre-Curie calldata-gas formula otherwise. Remaining divergence: the gas
+table approximates EIP-2929 (see interpreter.GAS_MODEL_NOTES).
 """
 
 from __future__ import annotations
@@ -43,6 +48,48 @@ WITHDRAW_QUEUE_ADDRESS = bytes.fromhex(
 WITHDRAW_ROOT_SLOT = 0
 
 L1_MSG_TX_TYPE = 0x7E
+
+# Scroll L1GasPriceOracle predeploy + its storage layout (the slots
+# revm-scroll's L1BlockInfo loads at block start; sbv therefore includes
+# their trie paths in every witness). Pre-Curie: (calldata gas + overhead)
+# * l1BaseFee * scalar / 1e9 over the signed-tx RLP; Curie+: commitScalar
+# * l1BaseFee + txSize * blobScalar * l1BlobBaseFee, / 1e9.
+L1_GAS_PRICE_ORACLE_ADDRESS = bytes.fromhex(
+    "5300000000000000000000000000000000000002"
+)
+ORACLE_L1_BASE_FEE_SLOT = 1
+ORACLE_OVERHEAD_SLOT = 2
+ORACLE_SCALAR_SLOT = 3
+ORACLE_L1_BLOB_BASE_FEE_SLOT = 5
+ORACLE_COMMIT_SCALAR_SLOT = 6
+ORACLE_BLOB_SCALAR_SLOT = 7
+ORACLE_PRECISION = 10**9
+
+
+def l1_data_fee(state: "WorldState", tx: "Tx") -> int:
+    """L1 data fee for one L2 transaction (0 for L1 messages).
+
+    Reads the oracle slots from the (witness-backed) state; an absent or
+    unconfigured oracle account yields fee 0, matching a chain where the
+    oracle was never initialized. Fork selection is data-driven: the
+    Curie formula applies whenever either Curie scalar is nonzero (the
+    upgrade sets both), so no fork flag needs threading through here.
+    """
+    if tx.is_l1_msg:
+        return 0
+    o = L1_GAS_PRICE_ORACLE_ADDRESS
+    l1_base_fee = state.get_storage(o, ORACLE_L1_BASE_FEE_SLOT)
+    commit_scalar = state.get_storage(o, ORACLE_COMMIT_SCALAR_SLOT)
+    blob_scalar = state.get_storage(o, ORACLE_BLOB_SCALAR_SLOT)
+    raw = tx.encode()
+    if commit_scalar or blob_scalar:
+        blob_base_fee = state.get_storage(o, ORACLE_L1_BLOB_BASE_FEE_SLOT)
+        return (commit_scalar * l1_base_fee
+                + blob_scalar * len(raw) * blob_base_fee) // ORACLE_PRECISION
+    overhead = state.get_storage(o, ORACLE_OVERHEAD_SLOT)
+    scalar = state.get_storage(o, ORACLE_SCALAR_SLOT)
+    calldata_gas = sum(4 if b == 0 else 16 for b in raw)
+    return (calldata_gas + overhead) * l1_base_fee * scalar // ORACLE_PRECISION
 
 
 @dataclass
@@ -311,11 +358,12 @@ def execute_tx(state: WorldState, block: BlockCtx, tx: Tx,
     if intrinsic > tx.gas_limit:
         raise ExecutionError("intrinsic gas exceeds limit")
 
-    upfront = tx.gas_limit * gas_price + tx.value
+    l1_fee = l1_data_fee(state, tx)
+    upfront = tx.gas_limit * gas_price + tx.value + l1_fee
     if state.get_balance(sender) < upfront:
         raise ExecutionError("insufficient balance for upfront cost")
-    if gas_price:
-        state.sub_balance(sender, tx.gas_limit * gas_price)
+    if tx.gas_limit * gas_price + l1_fee:
+        state.sub_balance(sender, tx.gas_limit * gas_price + l1_fee)
     state.inc_nonce(sender)
 
     txctx = TxCtx(origin=sender, gas_price=gas_price)
@@ -342,9 +390,11 @@ def execute_tx(state: WorldState, block: BlockCtx, tx: Tx,
     gas_used -= refund
     if gas_price:
         state.add_balance(sender, (tx.gas_limit - gas_used) * gas_price)
-        # priority fee to coinbase (Scroll: no base-fee burn — the full
-        # effective price accrues to the fee vault/coinbase)
-        state.add_balance(block.coinbase, gas_used * gas_price)
+    if gas_used * gas_price + l1_fee:
+        # fees to coinbase (Scroll: no base-fee burn — the full effective
+        # price AND the L1 data fee accrue to the fee vault/coinbase; the
+        # L1 fee is charged even when the tx reverts and never refunded)
+        state.add_balance(block.coinbase, gas_used * gas_price + l1_fee)
 
     receipt = Receipt(
         tx_type=tx.tx_type,
