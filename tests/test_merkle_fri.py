@@ -66,6 +66,14 @@ def _low_degree_codeword(log_m, degree_bound):
     )
 
 
+def _derived_from(cw):
+    """Round-0 codeword oracle (the round-0 codeword is never committed:
+    the verifier must be able to derive it — here, from the test's own
+    codeword)."""
+    canon = np.asarray(bb.from_monty(np.asarray(cw))).astype(np.uint64)
+    return lambda q: canon[q]
+
+
 def test_fri_accepts_low_degree():
     log_m = 6
     cfg = FriConfig(log_blowup=1, num_queries=6, proof_of_work_bits=2)
@@ -73,7 +81,8 @@ def test_fri_accepts_low_degree():
     ch = Challenger()
     proof = fri.prove(cw, log_m, bb.GENERATOR, cfg, ch)
     ch2 = Challenger()
-    assert fri.verify(proof, log_m, bb.GENERATOR, cfg, ch2, None)
+    assert fri.verify(proof, log_m, bb.GENERATOR, cfg, ch2,
+                      _derived_from(cw))
 
 
 def test_fri_rejects_high_degree():
@@ -87,7 +96,8 @@ def test_fri_rejects_high_degree():
     ch = Challenger()
     proof = fri.prove(cw, log_m, bb.GENERATOR, cfg, ch)
     ch2 = Challenger()
-    assert not fri.verify(proof, log_m, bb.GENERATOR, cfg, ch2, None)
+    assert not fri.verify(proof, log_m, bb.GENERATOR, cfg, ch2,
+                          _derived_from(cw))
 
 
 def test_fri_transcript_binding():
@@ -99,7 +109,8 @@ def test_fri_transcript_binding():
     # verifier with a different transcript prefix must reject
     ch3 = Challenger()
     ch3.observe_canonical_u32(99)
-    assert not fri.verify(proof, log_m, bb.GENERATOR, cfg, ch3, None)
+    assert not fri.verify(proof, log_m, bb.GENERATOR, cfg, ch3,
+                          _derived_from(cw))
 
 
 def test_challenger_determinism_and_divergence():

@@ -815,12 +815,16 @@ def verify_in_circuit(
     log_final_domain = fri_cfg.log_final_poly_len + fri_cfg.log_blowup
     n_rounds = log_max - log_final_domain
 
+    # round 0 is the derived DEEP codeword — never committed (stark.fri
+    # round-5 structure): beta_0 comes straight off the transcript;
+    # fri_roots[k] is the round-(k+1) commitment
     betas: List[Wire] = []
     fri_roots: List[List[Wire]] = []
     for r in range(n_rounds):
-        root_w = wit_list(oracle.fri_commit(r))
-        fri_roots.append(root_w)
-        ch.observe_many(root_w)
+        if r > 0:
+            root_w = wit_list(oracle.fri_commit(r - 1))
+            fri_roots.append(root_w)
+            ch.observe_many(root_w)
         betas.append(ch.sample_ext())
 
     fd = 1 << log_final_domain
@@ -855,32 +859,32 @@ def verify_in_circuit(
             top_bit = qbits[lm - 1]
             qq = q0 % (1 << (lm - 1))
 
-            lo_row = wit_list(oracle.fri_opening_row(r, qi, False))
-            hi_row = wit_list(oracle.fri_opening_row(r, qi, True))
-            lo_sibs = [
-                wit_list(s)
-                for s in oracle.fri_opening_siblings(r, qi, False, lm)
-            ]
-            hi_sibs = [
-                wit_list(s)
-                for s in oracle.fri_opening_siblings(r, qi, True, lm)
-            ]
-            # open index qq and qq + half: path bits differ only in the top
-            verify_path(hash_row(lo_row), half_bits + [zero],
-                        lo_sibs, fri_roots[r])
-            verify_path(hash_row(hi_row), half_bits + [one],
-                        hi_sibs, fri_roots[r])
-            lo = bld.pack_ext(lo_row)
-            hi = bld.pack_ext(hi_row)
-
             if r == 0:
-                d_lo = derived_at(lm, half_bits + [zero], qq)
-                d_hi = derived_at(
+                # round 0 has no commitment: both legs of the first fold
+                # are derived in-circuit from the outer STARK openings
+                lo = derived_at(lm, half_bits + [zero], qq)
+                hi = derived_at(
                     lm, half_bits + [one], qq + (1 << (lm - 1))
                 )
-                bld.assert_eq(d_lo, lo)
-                bld.assert_eq(d_hi, hi)
-            if value is not None:
+            else:
+                lo_row = wit_list(oracle.fri_opening_row(r - 1, qi, False))
+                hi_row = wit_list(oracle.fri_opening_row(r - 1, qi, True))
+                lo_sibs = [
+                    wit_list(s)
+                    for s in oracle.fri_opening_siblings(r - 1, qi, False, lm)
+                ]
+                hi_sibs = [
+                    wit_list(s)
+                    for s in oracle.fri_opening_siblings(r - 1, qi, True, lm)
+                ]
+                # open index qq and qq + half: path bits differ in the top
+                verify_path(hash_row(lo_row), half_bits + [zero],
+                            lo_sibs, fri_roots[r - 1])
+                verify_path(hash_row(hi_row), half_bits + [one],
+                            hi_sibs, fri_roots[r - 1])
+                lo = bld.pack_ext(lo_row)
+                hi = bld.pack_ext(hi_row)
+
                 if lm in injected_heights:
                     q_here = q0 % (1 << lm)
                     value = bld.add(

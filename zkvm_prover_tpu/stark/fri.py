@@ -9,8 +9,16 @@ config at /root/reference/crates/circuits/chunk-circuit/openvm.toml:1-6):
       E'(x^2) = (E(x) + E(-x))/2 + beta * (E(x) - E(-x)) / (2x)
   i.e. two slabs + a host-precomputed 1/(2x_j) table — no strided pair
   gathers (this is the natural-order twin of Plonky3's bit-reversed layout).
-- Every round's codeword is Merkle-committed (ext elements as (m_i, 4) u32
-  matrices); queries open index and sibling index+m_i/2.
+- The ROUND-0 codeword is NOT committed (round 5, p3 parity): it is the
+  DEEP combination the verifier re-derives at every queried position from
+  the outer trace/quotient openings, so committing it is redundant — beta_0
+  is sampled from the transcript that already binds every outer commitment
+  and OOD value, the verifier computes E_0(x), E_0(-x) itself and folds.
+  This both shrinks proofs (one Merkle tree + 2 openings/query fewer) and
+  tightens binding (the fold consumes the derived values directly instead
+  of prover-committed copies checked for equality).
+- Every LATER round's codeword is Merkle-committed (ext elements as
+  (m_i, 4) u32 matrices); queries open index and sibling index+m_i/2.
 - Query index sampling, PoW grinding and the transcript order follow the
   commit-then-sample structure of the reference.
 """
@@ -117,11 +125,18 @@ def prove(
     # degree < 2^log_final_poly_len polynomial (folding to a single point
     # would make the final check vacuous).
     log_final_domain = config.log_final_poly_len + config.log_blowup
+    first = True
     while lm > log_final_domain:
-        tree = merkle.commit([cw])
-        commits.append(tree)
-        roots.append(tree.root_np())
-        challenger.observe_slice(tree.root_np())
+        if first:
+            # round 0 is the verifier-derivable DEEP codeword — never
+            # committed (see module docstring); beta_0 comes straight off
+            # the transcript, which already binds all outer commitments
+            first = False
+        else:
+            tree = merkle.commit([cw])
+            commits.append(tree)
+            roots.append(tree.root_np())
+            challenger.observe_slice(tree.root_np())
         beta = challenger.sample_ext()
         cw = fold_round(cw, lm, sh, beta)
         sh = (sh * sh) % bb.P
@@ -136,11 +151,12 @@ def prove(
 
     pow_witness = challenger.grind(config.proof_of_work_bits)
 
-    # query phase
+    # query phase — commits[k] holds the round-(k+1) codeword (round 0 is
+    # derived, not committed)
     indices = [challenger.sample_bits(log_m) for _ in range(config.num_queries)]
     rounds: List[FriRoundProof] = []
-    for r, tree in enumerate(commits):
-        m_r = 1 << (log_m - r)
+    for k, tree in enumerate(commits):
+        m_r = 1 << (log_m - 1 - k)
         half = m_r // 2
         openings = []
         for q0 in indices:
@@ -195,24 +211,33 @@ def verify(
       - callable(q) -> canonical (4,) for the round-0 codeword, or
       - dict {log_m' -> callable(q)} — the multi-height case: log_m entry is
         the round-0 codeword; other entries are codewords injected into the
-        fold when the round size reaches 2^log_m' (must match prover), or
-      - None to trust the round-0 Merkle openings (pure low-degree test).
+        fold when the round size reaches 2^log_m' (must match prover).
+    The round-0 codeword is NOT committed (see module docstring): the
+    log_m entry is mandatory — it IS the round-0 codeword.
     """
-    if initial_values is None:
-        derived = {}
-    elif callable(initial_values):
+    if callable(initial_values):
         derived = {log_m: initial_values}
-    else:
+    elif initial_values:
         derived = dict(initial_values)
+    else:
+        return False  # round-0 must be derivable; there is no commitment
+    if log_m not in derived:
+        return False
     log_final_domain = config.log_final_poly_len + config.log_blowup
     n_rounds = log_m - log_final_domain
-    if len(proof.commitments) != n_rounds:
+    # commits[k] is the round-(k+1) codeword; round 0 is derived
+    if len(proof.commitments) != max(n_rounds - 1, 0):
         return False
     if len(np.asarray(proof.final_poly).reshape(-1, 4)) != (
         1 << log_final_domain
     ):
         return False
     betas = []
+    if n_rounds > 0:
+        # beta_0 is sampled with no new observation — the transcript
+        # already binds every outer commitment and OOD opening
+        b0 = challenger.sample_ext()
+        betas.append(_monty_row_to_canonical(np.asarray(b0)))
     for root in proof.commitments:
         challenger.observe_slice(np.asarray(root, dtype=np.uint32))
         b = challenger.sample_ext()
@@ -251,30 +276,27 @@ def verify(
             half = m_r // 2
             q %= m_r
             qq = q % half
-            op_lo, op_hi = proof.rounds[r].openings[qi]
-            if op_lo.index != qq or op_hi.index != qq + half:
-                return False
-            root = proof.commitments[r]
-            if not merkle.verify_opening(root, op_lo, [m_r]):
-                return False
-            if not merkle.verify_opening(root, op_hi, [m_r]):
-                return False
-            lo = _monty_row_to_canonical(op_lo.rows[0])
-            hi = _monty_row_to_canonical(op_hi.rows[0])
-            opened = lo if q < half else hi
-            if r == 0 and lm in derived:
-                # bind the committed round-0 codeword to the outer openings at
-                # BOTH queried positions (x and -x)
-                exp_lo = np.asarray(derived[lm](qq), dtype=np.uint64) % bb.P
-                exp_hi = (
-                    np.asarray(derived[lm](qq + half), dtype=np.uint64) % bb.P
+            if r == 0:
+                # round 0 is not committed: the verifier derives BOTH leg
+                # values of the first fold from the outer STARK openings
+                lo = np.asarray(derived[lm](qq), dtype=np.uint64) % bb.P
+                hi = (
+                    np.asarray(derived[lm](qq + half), dtype=np.uint64)
+                    % bb.P
                 )
-                if not (exp_lo == lo.astype(np.uint64)).all():
+            else:
+                op_lo, op_hi = proof.rounds[r - 1].openings[qi]
+                if op_lo.index != qq or op_hi.index != qq + half:
                     return False
-                if not (exp_hi == hi.astype(np.uint64)).all():
+                root = proof.commitments[r - 1]
+                if not merkle.verify_opening(root, op_lo, [m_r]):
                     return False
-            if value is not None:
-                if r > 0 and lm in derived:
+                if not merkle.verify_opening(root, op_hi, [m_r]):
+                    return False
+                lo = _monty_row_to_canonical(op_lo.rows[0])
+                hi = _monty_row_to_canonical(op_hi.rows[0])
+                opened = lo if q < half else hi
+                if lm in derived:
                     # a codeword was injected into the fold at this size
                     value = (
                         value + np.asarray(derived[lm](q), dtype=np.uint64)
