@@ -238,6 +238,66 @@ int bb_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
   return 0;
 }
 
+inline uint32_t sub_p(uint32_t a, uint32_t b) {
+  return a >= b ? a - b : a + P_ - b;
+}
+
+// Staged radix-2 NTT butterflies over an (n, cols) row-major matrix,
+// in-place — the host twin of ops/ntt.py::_dif/_dit (bit-identical: the
+// caller passes the SAME Montgomery stage-twiddle tables, flattened so
+// stage s (h = 2^(s-1)) starts at offset h-1). dit=0: natural-order in,
+// bit-reversed out (new_lo = lo+hi, new_hi = (lo-hi)*w). dit=1:
+// bit-reversed in, natural out (t = hi*w, lo+t, lo-t).
+int bb_ntt(uint32_t dit, uint64_t n, uint64_t cols, uint32_t log_n,
+           const uint32_t *tw, uint32_t *data) {
+  if (!P_ || n != (1ull << log_n)) return -1;
+  for (uint32_t si = 0; si < log_n; si++) {
+    uint32_t s = dit ? si + 1 : log_n - si;
+    uint64_t h = 1ull << (s - 1);
+    const uint32_t *tws = tw + (h - 1);
+    uint64_t n_bf = n / 2;
+    auto stage = [&](uint64_t lo_t, uint64_t hi_t) {
+      for (uint64_t t = lo_t; t < hi_t; t++) {
+        uint64_t b = t / h, j = t % h;
+        uint32_t *prow = data + (b * 2 * h + j) * cols;
+        uint32_t *qrow = prow + h * cols;
+        uint32_t w = tws[j];
+        if (dit) {
+          for (uint64_t c = 0; c < cols; c++) {
+            uint32_t tv = mont_mul(qrow[c], w);
+            uint32_t l = prow[c];
+            prow[c] = add_p(l, tv);
+            qrow[c] = sub_p(l, tv);
+          }
+        } else {
+          for (uint64_t c = 0; c < cols; c++) {
+            uint32_t l = prow[c], r = qrow[c];
+            prow[c] = add_p(l, r);
+            qrow[c] = mont_mul(sub_p(l, r), w);
+          }
+        }
+      }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    if (n_bf * cols >= (1u << 15) && hw >= 2 && n_bf >= 2 * hw) {
+      // gate on total WORK, not row count (parallel_rows' row threshold
+      // would leave wide-but-short stages serial)
+      unsigned nt = hw < 8 ? hw : 8;
+      std::vector<std::thread> ts;
+      uint64_t chunk = (n_bf + nt - 1) / nt;
+      for (unsigned t = 0; t < nt; t++) {
+        uint64_t lo = t * chunk, hi = lo + chunk < n_bf ? lo + chunk : n_bf;
+        if (lo >= hi) break;
+        ts.emplace_back([=, &stage] { stage(lo, hi); });
+      }
+      for (auto &th : ts) th.join();
+    } else {
+      stage(0, n_bf);
+    }
+  }
+  return 0;
+}
+
 // elementwise Montgomery product by one broadcast scalar
 int bb_mul_scalar(uint64_t n, const uint32_t *a, uint32_t s, uint32_t *out) {
   if (!P_) return -1;

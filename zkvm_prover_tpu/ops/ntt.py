@@ -157,12 +157,40 @@ def _dit_four_step(x, log_n: int, inverse: bool):
     return g.reshape(((1 << log_n),) + rest)
 
 
+@functools.lru_cache(maxsize=None)
+def _stage_tw_flat(log_n: int, inverse: bool) -> np.ndarray:
+    """Stage tables concatenated so stage s starts at offset 2^(s-1)-1
+    (the native kernel's layout)."""
+    return np.ascontiguousarray(
+        np.concatenate(_stage_twiddles(log_n, inverse))
+    )
+
+
+def _native_ntt(x, log_n: int, inverse: bool, dit: bool):
+    """Host path through the native C++ staged kernel (bit-identical:
+    same twiddle tables, same butterfly formulas). None on tiny inputs
+    (ctypes overhead) or native-unavailable builds."""
+    if log_n == 0 or x.size < (1 << 8):
+        return None
+    from . import p2_native
+
+    out = p2_native.ntt_stages(x, log_n, _stage_tw_flat(log_n, inverse), dit)
+    if out is None:
+        return None
+    return out.reshape(x.shape)
+
+
 def _dif(x, log_n: int, inverse: bool):
     """DIF butterflies: natural-order input -> bit-reversed-order output.
-    Backend-generic: numpy input runs entirely on numpy (no XLA compile)."""
+    Backend-generic: numpy input runs entirely on numpy (no XLA compile;
+    large inputs take the fused native C++ kernel)."""
     xp = np if isinstance(x, np.ndarray) else jnp
     if xp is jnp and log_n >= FOUR_STEP_MIN_LOG_N:
         return _dif_four_step(x, log_n, inverse)
+    if xp is np:
+        out = _native_ntt(x, log_n, inverse, dit=False)
+        if out is not None:
+            return out
     n = x.shape[0]
     w_all = _stage_twiddles(log_n, inverse)
     rest = x.shape[1:]
@@ -183,6 +211,10 @@ def _dit(x, log_n: int, inverse: bool):
     xp = np if isinstance(x, np.ndarray) else jnp
     if xp is jnp and log_n >= FOUR_STEP_MIN_LOG_N:
         return _dit_four_step(x, log_n, inverse)
+    if xp is np:
+        out = _native_ntt(x, log_n, inverse, dit=True)
+        if out is not None:
+            return out
     n = x.shape[0]
     w_all = _stage_twiddles(log_n, inverse)
     rest = x.shape[1:]

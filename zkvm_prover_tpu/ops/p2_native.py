@@ -79,6 +79,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64, _U32P, ctypes.c_uint32, _U32P,
         ]
         lib.bb_mul_scalar.restype = ctypes.c_int
+        lib.bb_ntt.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint32, _U32P, _U32P,
+        ]
+        lib.bb_ntt.restype = ctypes.c_int
         lib.ext4_mul_arrays.argtypes = [
             ctypes.c_uint64, _U32P, _U32P, ctypes.c_uint32, _U32P,
         ]
@@ -164,6 +169,26 @@ def bb_mul(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
     out = np.empty_like(a)
     if lib.bb_mul_arrays(a.size, a.reshape(-1), b.reshape(-1),
                          out.reshape(-1)) != 0:
+        return None  # pragma: no cover
+    return out
+
+
+def ntt_stages(x: np.ndarray, log_n: int, tw_flat: np.ndarray, dit: bool
+               ) -> Optional[np.ndarray]:
+    """Staged radix-2 NTT butterflies on an (n, ...) matrix. tw_flat is
+    the caller's flattened Montgomery stage-twiddle tables (stage s at
+    offset 2^(s-1)-1), so the result is bit-identical to the numpy
+    staged loop by construction. Returns a NEW array (input untouched)
+    or None if native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = x.shape[0]
+    out = np.array(x, dtype=np.uint32, order="C")  # one copy, contiguous
+    cols = out.size // n if n else 0
+    if lib.bb_ntt(1 if dit else 0, n, cols, log_n,
+                  np.ascontiguousarray(tw_flat, dtype=np.uint32),
+                  out.reshape(-1)) != 0:
         return None  # pragma: no cover
     return out
 
