@@ -190,7 +190,7 @@ def bench_machine_proof(n_outer=8, n_inner=256):
         "proving_khz": round(cycles / 1e3 / prove_s, 2),
         "fri_queries": cfg.fri.num_queries,
         "pow_bits": cfg.fri.proof_of_work_bits,
-        "backend": "host numpy + native C++ poseidon2 "
+        "backend": "host numpy + native C++ poseidon2/ntt/field kernels "
                    "(see module docstring)",
     }
 
