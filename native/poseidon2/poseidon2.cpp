@@ -118,6 +118,27 @@ void permute_range(uint32_t *states, uint64_t lo, uint64_t hi,
   for (uint64_t i = lo; i < hi; i++) permute_one<W>(states + i * W, c);
 }
 
+// Work-gated variant: `muls_per_item` approximates per-item cost so
+// thread spawn (~50us) only happens when the total work warrants it.
+template <typename F>
+void parallel_work(uint64_t n, uint64_t muls_per_item, F f) {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw < 2 || n < 2 || n * muls_per_item < (1u << 17)) {
+    f(0, n);
+    return;
+  }
+  unsigned nt = hw < 8 ? hw : 8;
+  if (nt > n) nt = (unsigned)n;
+  std::vector<std::thread> ts;
+  uint64_t chunk = (n + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    uint64_t lo = t * chunk, hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    ts.emplace_back([=] { f(lo, hi); });
+  }
+  for (auto &t : ts) t.join();
+}
+
 template <typename F>
 void parallel_rows(uint64_t n, F f) {
   unsigned hw = std::thread::hardware_concurrency();
@@ -232,7 +253,7 @@ int bb_init(uint32_t p, uint32_t np) {
 int bb_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
                   uint32_t *out) {
   if (!P_) return -1;
-  parallel_rows(n, [&](uint64_t lo, uint64_t hi) {
+  parallel_work(n, 1, [&](uint64_t lo, uint64_t hi) {
     for (uint64_t i = lo; i < hi; i++) out[i] = mont_mul(a[i], b[i]);
   });
   return 0;
@@ -301,9 +322,105 @@ int bb_ntt(uint32_t dit, uint64_t n, uint64_t cols, uint32_t log_n,
 // elementwise Montgomery product by one broadcast scalar
 int bb_mul_scalar(uint64_t n, const uint32_t *a, uint32_t s, uint32_t *out) {
   if (!P_) return -1;
-  parallel_rows(n, [&](uint64_t lo, uint64_t hi) {
+  parallel_work(n, 1, [&](uint64_t lo, uint64_t hi) {
     for (uint64_t i = lo; i < hi; i++) out[i] = mont_mul(a[i], s);
   });
+  return 0;
+}
+
+// Broadcast products over an (rows, cols) row-major matrix. These cover
+// the prover's numpy-broadcast hot patterns that the same-shape kernel
+// above can't take: per-row scaling (coset LDE twiddle scale, logUp
+// column-times-multiplicity), per-column scaling, and outer products
+// (base column times ext power ladder in logUp fingerprints).
+
+// out[i,j] = a[i,j] * b[i]
+int bb_mul_rows(uint64_t rows, uint64_t cols, const uint32_t *a,
+                const uint32_t *b, uint32_t *out) {
+  if (!P_) return -1;
+  parallel_work(rows, cols, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) {
+      uint32_t s = b[i];
+      const uint32_t *arow = a + i * cols;
+      uint32_t *orow = out + i * cols;
+      for (uint64_t j = 0; j < cols; j++) orow[j] = mont_mul(arow[j], s);
+    }
+  });
+  return 0;
+}
+
+// out[i,j] = a[i,j] * b[j]
+int bb_mul_cols(uint64_t rows, uint64_t cols, const uint32_t *a,
+                const uint32_t *b, uint32_t *out) {
+  if (!P_) return -1;
+  parallel_work(rows, cols, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) {
+      const uint32_t *arow = a + i * cols;
+      uint32_t *orow = out + i * cols;
+      for (uint64_t j = 0; j < cols; j++)
+        orow[j] = mont_mul(arow[j], b[j]);
+    }
+  });
+  return 0;
+}
+
+// out[i,j] = a[i] * b[j]
+int bb_mul_outer(uint64_t rows, uint64_t cols, const uint32_t *a,
+                 const uint32_t *b, uint32_t *out) {
+  if (!P_) return -1;
+  parallel_work(rows, cols, [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; i++) {
+      uint32_t s = a[i];
+      uint32_t *orow = out + i * cols;
+      for (uint64_t j = 0; j < cols; j++) orow[j] = mont_mul(s, b[j]);
+    }
+  });
+  return 0;
+}
+
+// Exact modular matmul of Montgomery operands, Montgomery result:
+// out[i,j] = (sum_k a[i,k] * b[k,j]) * R^{-1} mod p — the native twin of
+// fields/babybear.py::mont_matmul_np (DEEP batch combination, OOD poly
+// evaluation; ncols is 4 on both call sites). Row products accumulate
+// exactly in unsigned __int128 (each term < 2^62, k <= 2^21 => < 2^83),
+// one 128-bit reduction + one REDC per output element.
+int bb_mont_matmul(uint64_t m, uint64_t k, uint64_t ncols, const uint32_t *a,
+                   const uint32_t *b, uint32_t *out) {
+  if (!P_ || ncols == 0 || ncols > 64 || k > (1ull << 21)) return -1;
+  unsigned hw = std::thread::hardware_concurrency();
+  uint64_t work = m * k * ncols;
+  unsigned nt = (hw < 2 || m < 2 || work < (1u << 15)) ? 1
+                : (hw < 8 ? hw : 8);
+  if (nt > m) nt = (unsigned)m;
+  auto rows_fn = [&](uint64_t lo, uint64_t hi) {
+    unsigned __int128 acc[64];
+    for (uint64_t i = lo; i < hi; i++) {
+      for (uint64_t j = 0; j < ncols; j++) acc[j] = 0;
+      const uint32_t *arow = a + i * k;
+      for (uint64_t kk = 0; kk < k; kk++) {
+        uint64_t av = arow[kk];
+        const uint32_t *brow = b + kk * ncols;
+        for (uint64_t j = 0; j < ncols; j++) acc[j] += av * brow[j];
+      }
+      uint32_t *orow = out + i * ncols;
+      for (uint64_t j = 0; j < ncols; j++) {
+        uint32_t t = (uint32_t)(uint64_t)(acc[j] % P_);
+        orow[j] = mont_mul(t, 1u);  // strip one R: R^2*x -> R*x
+      }
+    }
+  };
+  if (nt <= 1) {
+    rows_fn(0, m);
+  } else {
+    std::vector<std::thread> ts;
+    uint64_t chunk = (m + nt - 1) / nt;
+    for (unsigned t = 0; t < nt; t++) {
+      uint64_t lo = t * chunk, hi = lo + chunk < m ? lo + chunk : m;
+      if (lo >= hi) break;
+      ts.emplace_back([=, &rows_fn] { rows_fn(lo, hi); });
+    }
+    for (auto &th : ts) th.join();
+  }
   return 0;
 }
 
@@ -311,7 +428,7 @@ int bb_mul_scalar(uint64_t n, const uint32_t *a, uint32_t s, uint32_t *out) {
 int ext4_mul_arrays(uint64_t n, const uint32_t *a, const uint32_t *b,
                     uint32_t w, uint32_t *out) {
   if (!P_) return -1;
-  parallel_rows(n, [&](uint64_t lo, uint64_t hi) {
+  parallel_work(n, 12, [&](uint64_t lo, uint64_t hi) {
     for (uint64_t i = lo; i < hi; i++) {
       const uint32_t *x = a + 4 * i;
       const uint32_t *y = b + 4 * i;

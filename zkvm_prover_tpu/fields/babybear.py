@@ -157,10 +157,12 @@ _S32_64 = np.uint64(32)
 
 
 # Above this size the native fused C++ kernel beats numpy's multi-pass
-# uint64 REDC (measured round 5: 2x at 2^16, 4x at 2^20 on a 2-core host
-# — numpy's uint64 temporaries fall out of cache); below it, numpy wins
-# on call overhead.
-_NATIVE_MUL_MIN = 1 << 14
+# uint64 REDC (measured round 5, second pass, on a 2-core host with the
+# work-gated thread spawn: parity at 2^8, 1.7x at 2^12, 3x at 2^14, 4x at
+# 2^20 — numpy's uint64 temporaries fall out of cache, and broadcast
+# patterns win even earlier via the fused rows/cols/outer kernels);
+# below it, numpy wins on call overhead.
+_NATIVE_MUL_MIN = 1 << 9
 
 
 def mul(a, b):
@@ -207,6 +209,11 @@ def mont_matmul_np(a_mont: np.ndarray, b_mont: np.ndarray) -> np.ndarray:
     a = np.asarray(a_mont, np.uint32)
     b = np.asarray(b_mont, np.uint32)
     assert a.shape[-1] == b.shape[0] and a.shape[-1] <= (1 << 21)
+    from ..ops import p2_native
+
+    out = p2_native.mont_matmul(a, b)
+    if out is not None:
+        return out
     al = (a & 0xFFFF).astype(np.float64)
     ah = (a >> 16).astype(np.float64)
     bl = (b & 0xFFFF).astype(np.float64)

@@ -79,6 +79,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64, _U32P, ctypes.c_uint32, _U32P,
         ]
         lib.bb_mul_scalar.restype = ctypes.c_int
+        for name in ("bb_mul_rows", "bb_mul_cols", "bb_mul_outer"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_uint64, ctypes.c_uint64, _U32P, _U32P,
+                           _U32P]
+            fn.restype = ctypes.c_int
+        lib.bb_mont_matmul.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, _U32P, _U32P,
+            _U32P,
+        ]
+        lib.bb_mont_matmul.restype = ctypes.c_int
         lib.bb_ntt.argtypes = [
             ctypes.c_uint32, ctypes.c_uint64, ctypes.c_uint64,
             ctypes.c_uint32, _U32P, _U32P,
@@ -163,7 +173,7 @@ def bb_mul(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
             return None  # pragma: no cover
         return out
     if a.shape != b.shape:
-        return None
+        return _bb_mul_broadcast(lib, a, b)
     a = np.ascontiguousarray(a, dtype=np.uint32)
     b = np.ascontiguousarray(b, dtype=np.uint32)
     out = np.empty_like(a)
@@ -171,6 +181,96 @@ def bb_mul(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
                          out.reshape(-1)) != 0:
         return None  # pragma: no cover
     return out
+
+
+def _bb_mul_broadcast(lib, a: np.ndarray, b: np.ndarray
+                      ) -> Optional[np.ndarray]:
+    """Differently-shaped operands: recognize the prover's broadcast hot
+    patterns (per-row scale, per-column scale, outer product) and route
+    them to the fused native kernels. Anything else returns None (caller
+    falls back to the numpy REDC path)."""
+    try:
+        out_shape = np.broadcast_shapes(a.shape, b.shape)
+    except ValueError:
+        return None
+    nd = len(out_shape)
+
+    def pad(s):
+        return (1,) * (nd - len(s)) + tuple(s)
+
+    pa, pb = pad(a.shape), pad(b.shape)
+    out = tuple(out_shape)
+    # commute so `a` is the operand covering the full output, if either does
+    if pb == out and pa != out:
+        a, b, pa, pb = b, a, pb, pa
+    af = np.ascontiguousarray(a, dtype=np.uint32).reshape(-1)
+    bf = np.ascontiguousarray(b, dtype=np.uint32).reshape(-1)
+    res = np.empty(out, dtype=np.uint32)
+
+    def prod(dims):
+        p = 1
+        for d in dims:
+            p *= d
+        return p
+
+    if pa == out:
+        nz = [i for i, d in enumerate(pb) if d != 1]
+        if not nz:  # b is size-1: scalar kernel (callers handle, but be safe)
+            if lib.bb_mul_scalar(af.size, af, np.uint32(bf[0]),
+                                 res.reshape(-1)) != 0:
+                return None  # pragma: no cover
+            return res
+        if all(pb[i] == pa[i] for i in nz):
+            r_lo, r_hi = nz[0], nz[-1] + 1
+            if all(d == 1 for d in pb[r_hi:]) and pb[:r_hi] == pa[:r_hi]:
+                # b indexes the leading dims: per-row scale
+                rows, cols = prod(pa[:r_hi]), prod(pa[r_hi:])
+                if lib.bb_mul_rows(rows, cols, af, bf,
+                                   res.reshape(-1)) != 0:
+                    return None  # pragma: no cover
+                return res
+            if all(d == 1 for d in pb[:r_lo]) and pb[r_lo:] == pa[r_lo:]:
+                # b indexes the trailing dims: per-column scale
+                rows, cols = prod(pa[:r_lo]), prod(pa[r_lo:])
+                if lib.bb_mul_cols(rows, cols, af, bf,
+                                   res.reshape(-1)) != 0:
+                    return None  # pragma: no cover
+                return res
+        return None
+    # neither covers the output: outer product a(leading) x b(trailing)
+    nz_a = [i for i, d in enumerate(pa) if d != 1]
+    nz_b = [i for i, d in enumerate(pb) if d != 1]
+    if nz_a and nz_b and nz_b[-1] < nz_a[0]:
+        a, b, pa, pb, af, bf = b, a, pb, pa, bf, af
+        nz_a, nz_b = nz_b, nz_a
+    if nz_a and nz_b and nz_a[-1] < nz_b[0] \
+            and all(pa[i] == out[i] for i in nz_a) \
+            and all(pb[i] == out[i] for i in nz_b) \
+            and af.size * bf.size == prod(out):
+        if lib.bb_mul_outer(af.size, bf.size, af, bf,
+                            res.reshape(-1)) != 0:
+            return None  # pragma: no cover
+        return res
+    return None
+
+
+def mont_matmul(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """Native exact modular matmul of Montgomery operands, Montgomery
+    result (the twin of fields/babybear.py::mont_matmul_np). Returns None
+    when native is unavailable or the inner-column count is unsupported."""
+    lib = _load()
+    if lib is None or b.ndim != 2 or b.shape[1] > 64:
+        return None
+    m, k = (a.shape if a.ndim == 2 else (1, a.shape[0]))
+    if a.ndim > 2 or k != b.shape[0] or k > (1 << 21):
+        return None
+    a2 = np.ascontiguousarray(a, dtype=np.uint32)
+    b2 = np.ascontiguousarray(b, dtype=np.uint32)
+    out = np.empty((m, b.shape[1]), dtype=np.uint32)
+    if lib.bb_mont_matmul(m, k, b.shape[1], a2.reshape(-1), b2.reshape(-1),
+                          out.reshape(-1)) != 0:
+        return None  # pragma: no cover
+    return out if a.ndim == 2 else out.reshape(b.shape[1:])
 
 
 def ntt_stages(x: np.ndarray, log_n: int, tw_flat: np.ndarray, dit: bool
