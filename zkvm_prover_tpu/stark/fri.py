@@ -266,6 +266,23 @@ def verify(
             return False
 
     inv2 = pow(2, bb.P - 2, bb.P)
+    # Batched Merkle verification per committed round: all queries share
+    # the tree structure, so the Q*2 paths collapse to one native compress
+    # per level (the per-opening walk dominated the 100-query verify).
+    for r in range(1, n_rounds):
+        lm = log_m - r
+        m_r = 1 << lm
+        half = m_r // 2
+        ops = []
+        for qi, q0 in enumerate(indices):
+            qq = (q0 % m_r) % half
+            op_lo, op_hi = proof.rounds[r - 1].openings[qi]
+            if op_lo.index != qq or op_hi.index != qq + half:
+                return False
+            ops.append(op_lo)
+            ops.append(op_hi)
+        if not merkle.verify_openings(proof.commitments[r - 1], ops, [m_r]):
+            return False
     for qi, q0 in enumerate(indices):
         sh = shift_int % bb.P
         value = None  # canonical (4,) expected value at current index
@@ -285,14 +302,8 @@ def verify(
                     % bb.P
                 )
             else:
+                # (index + Merkle path checks done in the batched pre-pass)
                 op_lo, op_hi = proof.rounds[r - 1].openings[qi]
-                if op_lo.index != qq or op_hi.index != qq + half:
-                    return False
-                root = proof.commitments[r - 1]
-                if not merkle.verify_opening(root, op_lo, [m_r]):
-                    return False
-                if not merkle.verify_opening(root, op_hi, [m_r]):
-                    return False
                 lo = _monty_row_to_canonical(op_lo.rows[0])
                 hi = _monty_row_to_canonical(op_hi.rows[0])
                 opened = lo if q < half else hi

@@ -748,36 +748,41 @@ def verify_machine(
         n_perm = sum(
             1 for i in range(len(metas)) if log_ms[i] == lm and inter_counts[i]
         )
-        for pos, qo in proof.query_openings[lm].items():
+        n_pre = sum(
+            1
+            for i in range(len(metas))
+            if log_ms[i] == lm and pre_traces[i] is not None
+        )
+        qos = list(proof.query_openings[lm].items())
+        for pos, qo in qos:
             if qo.trace.index != pos or qo.quotient.index != pos:
                 return False
-            if not merkle.verify_opening(
-                proof.trace_roots[lm], qo.trace, [1 << lm] * n_mats
-            ):
+            if n_perm and (qo.perm is None or qo.perm.index != pos):
                 return False
-            if not merkle.verify_opening(
-                proof.quotient_roots[lm], qo.quotient, [1 << lm] * n_mats
-            ):
+            if n_pre and (qo.pre is None or qo.pre.index != pos):
                 return False
-            if n_perm:
-                if qo.perm is None or qo.perm.index != pos:
-                    return False
-                if not merkle.verify_opening(
-                    proof.perm_roots[lm], qo.perm, [1 << lm] * n_perm
-                ):
-                    return False
-            n_pre = sum(
-                1
-                for i in range(len(metas))
-                if log_ms[i] == lm and pre_traces[i] is not None
-            )
-            if n_pre:
-                if qo.pre is None or qo.pre.index != pos:
-                    return False
-                if not merkle.verify_opening(
-                    proof.pre_roots[lm], qo.pre, [1 << lm] * n_pre
-                ):
-                    return False
+        # one batched path walk per tree (all queries share the level
+        # structure — each level is a single native compress call)
+        if not merkle.verify_openings(
+            proof.trace_roots[lm], [qo.trace for _, qo in qos],
+            [1 << lm] * n_mats
+        ):
+            return False
+        if not merkle.verify_openings(
+            proof.quotient_roots[lm], [qo.quotient for _, qo in qos],
+            [1 << lm] * n_mats
+        ):
+            return False
+        if n_perm and not merkle.verify_openings(
+            proof.perm_roots[lm], [qo.perm for _, qo in qos],
+            [1 << lm] * n_perm
+        ):
+            return False
+        if n_pre and not merkle.verify_openings(
+            proof.pre_roots[lm], [qo.pre for _, qo in qos],
+            [1 << lm] * n_pre
+        ):
+            return False
 
     # ---- derived codeword callbacks per height ---------------------------
     from ..fields.ext4 import W_INT as _W

@@ -123,28 +123,57 @@ def verify_opening(
 ) -> bool:
     """Recompute the path from the opened rows. heights = matrix heights in
     the order rows were supplied."""
+    return verify_openings(root, [opening], heights)
+
+
+def verify_openings(
+    root: np.ndarray,
+    openings: Sequence[Opening],
+    heights: Sequence[int],
+) -> bool:
+    """Batch-verify all openings of ONE tree (same heights, same root).
+
+    All Q openings walk the same level structure, so every level is one
+    native compress over (Q, 8) digests and every leaf layer one row
+    sponge over (Q, sum_w) — instead of Q * depth single-row native calls
+    (the per-call ctypes overhead dominated the 100-query verify)."""
+    if not openings:
+        return True
+    n_sib = len(openings[0].siblings)
+    if any(len(op.siblings) != n_sib or len(op.rows) != len(heights)
+           for op in openings):
+        return False
     by_height = {}
-    for h, row in zip(heights, opening.rows):
-        by_height.setdefault(int(h), []).append(row)
+    for j, h in enumerate(heights):
+        by_height.setdefault(int(h), []).append(
+            np.stack([np.asarray(op.rows[j]) for op in openings])
+        )  # (Q, w_j)
     h_max = max(by_height)
+    if h_max.bit_length() - 1 != n_sib:
+        return False
 
-    # host (numpy) hashing: path verification is thousands of tiny
-    # permutations — device dispatch would dominate
     def digest_of(hh):
-        cat = np.concatenate([np.asarray(r) for r in by_height[hh]])
-        return p2.hash_rows_np(cat[None, :].astype(np.uint32))[0]
+        mats = by_height[hh]
+        cat = mats[0] if len(mats) == 1 else np.concatenate(mats, axis=1)
+        return p2.hash_rows_np(np.ascontiguousarray(cat, dtype=np.uint32))
 
-    d = digest_of(h_max)
-    idx = opening.index
+    d = digest_of(h_max)                                     # (Q, 8)
+    idx = np.asarray([op.index for op in openings], dtype=np.int64)
+    if ((idx < 0) | (idx >= h_max)).any():
+        return False
     s = h_max
     k = 0
     while s > 1:
-        sib = np.asarray(opening.siblings[k], dtype=np.uint32)
-        left, right = (d, sib) if idx % 2 == 0 else (sib, d)
-        d = p2.compress_np(left[None, :], right[None, :])[0]
+        sib = np.stack(
+            [np.asarray(op.siblings[k], dtype=np.uint32) for op in openings]
+        )
+        left_is_d = (idx % 2 == 0)[:, None]
+        left = np.where(left_is_d, d, sib)
+        right = np.where(left_is_d, sib, d)
+        d = p2.compress_np(left, right)
         idx >>= 1
         s //= 2
         k += 1
         if s in by_height:
-            d = p2.compress_np(d[None, :], digest_of(s)[None, :])[0]
-    return bool((d == np.asarray(root)).all())
+            d = p2.compress_np(d, digest_of(s))
+    return bool((d == np.asarray(root)[None, :]).all())

@@ -117,13 +117,18 @@ def verify(
     g_h = bb.two_adic_generator_int(log_n)
     zeta_g = ext_np.mul(zeta_c, ext_np.from_base(g_h))
 
-    for pos, qo in proof.query_openings.items():
+    qos = list(proof.query_openings.items())
+    for pos, qo in qos:
         if qo.trace.index != pos or qo.quotient.index != pos:
             return False
-        if not merkle.verify_opening(proof.trace_root, qo.trace, [m]):
-            return False
-        if not merkle.verify_opening(proof.quotient_root, qo.quotient, [m]):
-            return False
+    if not merkle.verify_openings(
+        proof.trace_root, [qo.trace for _, qo in qos], [m]
+    ):
+        return False
+    if not merkle.verify_openings(
+        proof.quotient_root, [qo.quotient for _, qo in qos], [m]
+    ):
+        return False
 
     def initial_values(idx: int):
         qo = proof.query_openings.get(idx)
